@@ -1,0 +1,277 @@
+package graft.analysis
+
+import java.util.Locale
+
+/** A token produced by an analyzer chain.
+  *
+  * Mirrors the reference token model (`tokenizer-api/src/lib.rs:15-56`):
+  * byte offsets into the original UTF-8 text, token ordinal position.
+  *
+  * @param text     token text (post-filter)
+  * @param position token ordinal, starting at 0
+  * @param offsetFrom UTF-8 byte offset of the first byte of the token
+  * @param offsetTo   UTF-8 byte offset one past the last byte of the token
+  */
+final case class Token(text: String, position: Int, offsetFrom: Int, offsetTo: Int)
+
+/** Text analysis kernel — pure Scala (no Spark), used from `Dataset.flatMap`
+  * on the build side and on the query side (query literals are re-tokenized
+  * with the same chain, reference `query_parser.rs:958-996`).
+  *
+  * Semantics replicate the reference analyzer chain exactly
+  * (`src/tokenizer/tokenizer_manager.rs:60-66`):
+  * SimpleTokenizer -> RemoveLongFilter(40) -> LowerCaser.
+  */
+object Analysis {
+
+  /** Rust `char::is_alphanumeric` parity: Alphabetic OR general category in
+    * {Nd, Nl, No}. Java `Character.isAlphabetic` tests the Unicode Alphabetic
+    * property (L* + Nl + Other_Alphabetic), same as Rust `is_alphabetic`;
+    * the numeric categories are added explicitly.
+    * Reference: `src/tokenizer/simple_tokenizer.rs:33-37`.
+    */
+  @inline def isAlphanumeric(cp: Int): Boolean = {
+    if (cp < 128) { // ASCII fast path
+      (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9')
+    } else {
+      val t = Character.getType(cp)
+      Character.isAlphabetic(cp) ||
+      t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+    }
+  }
+
+  /** UTF-8 encoded length of a code point. */
+  @inline def utf8Len(cp: Int): Int =
+    if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+
+  /** UTF-8 byte length of a string without materializing the bytes. */
+  def utf8Length(s: String): Int = {
+    var i = 0; var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      n += utf8Len(cp)
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
+  /** SimpleTokenizer: maximal runs of alphanumeric code points; positions are
+    * token ordinals from 0; offsets are UTF-8 byte offsets.
+    * Reference: `src/tokenizer/simple_tokenizer.rs:18-64`.
+    */
+  def simpleTokenize(text: String): Seq[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0            // UTF-16 index
+    var byteOff = 0      // UTF-8 byte offset
+    var pos = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (isAlphanumeric(cp)) {
+        val startI = i
+        val startB = byteOff
+        var j = i
+        var b = byteOff
+        var continue = true
+        while (j < n && continue) {
+          val c = text.codePointAt(j)
+          if (isAlphanumeric(c)) { b += utf8Len(c); j += Character.charCount(c) }
+          else continue = false
+        }
+        out += Token(text.substring(startI, j), pos, startB, b)
+        pos += 1
+        i = j; byteOff = b
+      } else {
+        byteOff += utf8Len(cp)
+        i += Character.charCount(cp)
+      }
+    }
+    out.result()
+  }
+
+  /** WhitespaceTokenizer: maximal runs of non-whitespace code points.
+    * Reference: `src/tokenizer/whitespace_tokenizer.rs`. Rust
+    * `char::is_whitespace` = Unicode White_Space property; Java's
+    * `Character.isWhitespace` differs on NBSP etc., so we test the Unicode
+    * property via the space categories + the fixed tab/newline set.
+    */
+  @inline private def isUnicodeWhitespace(cp: Int): Boolean = {
+    // Unicode White_Space: Zs, Zl, Zp categories plus U+0009..U+000D, U+0085
+    if (cp == 0x09 || cp == 0x0A || cp == 0x0B || cp == 0x0C || cp == 0x0D || cp == 0x85) true
+    else {
+      val t = Character.getType(cp)
+      t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+      t == Character.PARAGRAPH_SEPARATOR
+    }
+  }
+
+  def whitespaceTokenize(text: String): Seq[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0; var byteOff = 0; var pos = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (!isUnicodeWhitespace(cp)) {
+        val startI = i; val startB = byteOff
+        var j = i; var b = byteOff; var continue = true
+        while (j < n && continue) {
+          val c = text.codePointAt(j)
+          if (!isUnicodeWhitespace(c)) { b += utf8Len(c); j += Character.charCount(c) }
+          else continue = false
+        }
+        out += Token(text.substring(startI, j), pos, startB, b)
+        pos += 1
+        i = j; byteOff = b
+      } else {
+        byteOff += utf8Len(cp); i += Character.charCount(cp)
+      }
+    }
+    out.result()
+  }
+
+  /** RawTokenizer: the whole input as one token (reference
+    * `src/tokenizer/raw_tokenizer.rs`). Used for STRING (untokenized) fields.
+    */
+  def rawTokenize(text: String): Seq[Token] =
+    if (text.isEmpty) Seq(Token(text, 0, 0, utf8Length(text)))
+    else Seq(Token(text, 0, 0, utf8Length(text)))
+
+  /** Character n-gram tokenizer over code points (reference
+    * `src/tokenizer/ngram_tokenizer.rs:10-88`): emits all grams with length in
+    * [minGram, maxGram]; `prefixOnly` restricts to grams starting at offset 0.
+    * All emitted tokens have position 0 (the reference keeps position 0 for
+    * every gram).
+    */
+  def ngramTokenize(text: String, minGram: Int, maxGram: Int, prefixOnly: Boolean = false): Seq[Token] = {
+    require(minGram > 0 && minGram <= maxGram, "invalid ngram bounds")
+    // index code point boundaries once
+    val bounds = {
+      val b = Vector.newBuilder[Int]
+      var i = 0
+      while (i < text.length) { b += i; i += Character.charCount(text.codePointAt(i)) }
+      b += text.length
+      b.result()
+    }
+    val nCp = bounds.length - 1
+    val out = Vector.newBuilder[Token]
+    var start = 0
+    while (start < nCp && (!prefixOnly || start == 0)) {
+      var len = minGram
+      while (len <= maxGram && start + len <= nCp) {
+        val s = bounds(start); val e = bounds(start + len)
+        out += Token(text.substring(s, e), 0,
+          utf8Length(text.substring(0, s)), utf8Length(text.substring(0, e)))
+        len += 1
+      }
+      start += 1
+    }
+    out.result()
+  }
+
+  /** Regex tokenizer: tokens = regex matches (reference
+    * `src/tokenizer/regex_tokenizer.rs`).
+    */
+  def regexTokenize(text: String, pattern: java.util.regex.Pattern): Seq[Token] = {
+    val m = pattern.matcher(text)
+    val out = Vector.newBuilder[Token]
+    var pos = 0
+    while (m.find()) {
+      if (m.end() > m.start()) {
+        out += Token(text.substring(m.start(), m.end()), pos,
+          utf8Length(text.substring(0, m.start())), utf8Length(text.substring(0, m.end())))
+        pos += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Facet tokenizer: a facet path `/a/b/c` emits each ancestor prefix
+    * `/a`, `/a/b`, `/a/b/c` (reference `src/tokenizer/facet_tokenizer.rs`).
+    */
+  def facetTokenize(path: String): Seq[String] = {
+    val parts = path.split("/").filter(_.nonEmpty)
+    (1 to parts.length).map(i => "/" + parts.take(i).mkString("/"))
+  }
+
+  /** LowerCaser parity with Rust `char::to_lowercase` applied per code point:
+    * full Unicode mapping including 1:N expansions, NO final-sigma special
+    * case (the reference explicitly skips it, `src/tokenizer/lower_caser.rs:44-51`).
+    * Java's per-isolated-codepoint `String.toLowerCase(Locale.ROOT)` has no
+    * preceding cased context, so the Final_Sigma condition never fires and the
+    * result matches Rust's unconditional mapping.
+    */
+  def lowercase(s: String): String = {
+    // ASCII fast path (reference lower_caser.rs:60-62)
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 128) ascii = false; i += 1 }
+    if (ascii) {
+      val sb = new java.lang.StringBuilder(s.length)
+      i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        i += 1
+      }
+      sb.toString
+    } else {
+      val sb = new java.lang.StringBuilder(s.length + 4)
+      i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        sb.append(new String(Character.toChars(cp)).toLowerCase(Locale.ROOT))
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+  }
+
+  /** RemoveLongFilter: drop tokens whose UTF-8 byte length >= limit
+    * (keeps strictly shorter). Reference `src/tokenizer/remove_long.rs:17-37`,
+    * default limit 40 in the "default" chain (`tokenizer_manager.rs:62-65`).
+    */
+  @inline def keepUnderLimit(tok: Token, limit: Int): Boolean = utf8Length(tok.text) < limit
+
+  val DefaultRemoveLongLimit = 40
+
+  /** The "default" analyzer chain — Simple -> RemoveLong(40) -> Lower.
+    * This one function is used identically at index and query time.
+    */
+  def defaultAnalyze(text: String): Seq[Token] =
+    simpleTokenize(text)
+      .filter(keepUnderLimit(_, DefaultRemoveLongLimit))
+      .map(t => t.copy(text = lowercase(t.text)))
+
+  /** Term stream convenience: (term, position) pairs from the default chain. */
+  def defaultTerms(text: String): Seq[(String, Int)] =
+    defaultAnalyze(text).map(t => (t.text, t.position))
+
+  /** StopWordFilter (reference `src/tokenizer/stop_word_filter/`). */
+  def stopWordFilter(tokens: Seq[Token], stopSet: Set[String]): Seq[Token] =
+    tokens.filterNot(t => stopSet.contains(t.text))
+
+  /** AlphaNumOnlyFilter (reference `src/tokenizer/alphanum_only.rs`): keep
+    * tokens composed exclusively of alphanumeric code points.
+    */
+  def alphaNumOnlyFilter(tokens: Seq[Token]): Seq[Token] =
+    tokens.filter { t =>
+      var i = 0; var ok = true
+      while (ok && i < t.text.length) {
+        val cp = t.text.codePointAt(i)
+        if (!isAlphanumeric(cp)) ok = false else i += Character.charCount(cp)
+      }
+      ok
+    }
+
+  /** ASCII folding via NFD decomposition + combining-mark strip. The reference
+    * uses a hand-rolled 4k-line table (`src/tokenizer/ascii_folding_filter.rs`);
+    * this is the documented approximation (SURVEY.md §2.2) — not byte-parity,
+    * not used in the default chain.
+    */
+  def asciiFold(s: String): String = {
+    val norm = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    norm.filter(c => c < 128 || Character.getType(c) != Character.NON_SPACING_MARK)
+  }
+}

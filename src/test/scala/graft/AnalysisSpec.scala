@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.{Analysis, FieldNorm, Token}
+import graft.score.Bm25
+
+/** Golden vectors ported verbatim from the reference's own unit tests —
+  * they pin the constants that create rank identity (FIXTURES.md §4).
+  */
+class AnalysisSpec extends AnyFunSuite {
+
+  test("simple tokenizer golden vector (simple_tokenizer.rs:71-79)") {
+    val toks = Analysis.simpleTokenize("Hello, happy tax payer!")
+    assert(toks.map(_.text) == Seq("Hello", "happy", "tax", "payer"))
+    assert(toks == Seq(
+      Token("Hello", 0, 0, 5),
+      Token("happy", 1, 7, 12),
+      Token("tax", 2, 13, 16),
+      Token("payer", 3, 17, 22)))
+  }
+
+  test("default chain lowercases (lower_caser.rs:84-91)") {
+    assert(Analysis.defaultAnalyze("Tree").map(_.text) == Seq("tree"))
+    val toks = Analysis.defaultAnalyze("Русский текст")
+    assert(toks.map(_.text) == Seq("русский", "текст"))
+    // byte offsets (UTF-8): русский is 14 bytes, space 1, текст 10
+    assert(toks.map(t => (t.offsetFrom, t.offsetTo)) == Seq((0, 14), (15, 25)))
+  }
+
+  test("no final-sigma special case in lowercase") {
+    // Rust: every Σ -> σ; Java String.toLowerCase on the full word would give ς
+    assert(Analysis.lowercase("ΟΔΥΣΣΕΥΣ") == "οδυσσευσ")
+  }
+
+  test("remove-long drops tokens with utf8 length >= limit (remove_long.rs:1-14)") {
+    val toks = Analysis.simpleTokenize("toolong nice")
+      .filter(Analysis.keepUnderLimit(_, 5))
+    assert(toks.map(_.text) == Seq("nice"))
+    // default chain limit 40: a 40-byte token is dropped, 39 kept
+    val t39 = "a" * 39; val t40 = "b" * 40
+    assert(Analysis.defaultAnalyze(s"$t39 $t40").map(_.text) == Seq(t39))
+    // multi-byte: 20 cyrillic chars = 40 utf8 bytes -> dropped
+    val cyr20 = "ж" * 20
+    assert(Analysis.defaultAnalyze(s"x $cyr20").map(_.text) == Seq("x"))
+  }
+
+  test("unicode alphanumeric parity: numbers Nl/No are token chars") {
+    // Ⅷ (ROMAN NUMERAL, Nl), ½ (VULGAR FRACTION, No) are alphanumeric in Rust
+    assert(Analysis.simpleTokenize("aⅧb").map(_.text) == Seq("aⅧb"))
+    assert(Analysis.simpleTokenize("x½y").map(_.text) == Seq("x½y"))
+    // punctuation/symbols split
+    assert(Analysis.simpleTokenize("foo_bar").map(_.text) == Seq("foo", "bar"))
+    assert(Analysis.simpleTokenize("a+b=c").map(_.text) == Seq("a", "b", "c"))
+  }
+
+  test("whitespace tokenizer") {
+    assert(Analysis.whitespaceTokenize("Hello, tax payer!").map(_.text) ==
+      Seq("Hello,", "tax", "payer!"))
+  }
+
+  test("ngram tokenizer (ngram_tokenizer.rs semantics)") {
+    assert(Analysis.ngramTokenize("hello", 2, 3).map(_.text) ==
+      Seq("he", "hel", "el", "ell", "ll", "llo", "lo"))
+    assert(Analysis.ngramTokenize("hello", 2, 3, prefixOnly = true).map(_.text) ==
+      Seq("he", "hel"))
+  }
+
+  test("facet tokenizer emits ancestor paths") {
+    assert(Analysis.facetTokenize("/a/b/c") == Seq("/a", "/a/b", "/a/b/c"))
+  }
+
+  test("fieldnorm table: bijection, identity <= 40, exact reference entries (code.rs:277-328)") {
+    assert(FieldNorm.Table.length == 256)
+    for (i <- 0 until 41) assert(FieldNorm.fieldnormToId(i.toLong) == i)
+    assert(FieldNorm.fieldnormToId(41) == 40)
+    assert(FieldNorm.fieldnormToId(42) == 41)
+    assert(FieldNorm.idToFieldnorm(255) == 2013265944L)
+    for (id <- 43 until 256) {
+      val fn = FieldNorm.Table(id)
+      assert(FieldNorm.idToFieldnorm(id) == fn)
+      assert(FieldNorm.fieldnormToId(fn) == id)
+      assert(FieldNorm.fieldnormToId(fn - 1) == id - 1)
+      assert(FieldNorm.fieldnormToId(fn + 1) == id)
+    }
+    // u32::MAX -> 255
+    assert(FieldNorm.fieldnormToId(0xffffffffL) == 255)
+    // spot-check values against the reference table constants
+    assert(FieldNorm.Table(41) == 42L)
+    assert(FieldNorm.Table(49) == 60L)
+    assert(FieldNorm.Table(88) == 1048L)
+  }
+
+  test("idf(1,2) == ln 2 in f32 (bm25.rs:230-235)") {
+    assert(Bm25.idf(1, 2) == math.log(2.0).toFloat)
+  }
+
+  test("bm25 score shape and max_score cap (bm25.rs:174-188,179-181)") {
+    val w = Bm25.forOneTerm(1, 2, 10.0f)
+    // weight = idf * (1+k1)
+    assert(w.weight == math.log(2.0).toFloat * 2.2f)
+    // tf factor monotone in tf, decreasing in fieldnorm id
+    assert(w.tfFactor(0, 1) > 0f)
+    assert(w.tfFactor(0, 2) > w.tfFactor(0, 1))
+    assert(w.tfFactor(10, 3) > w.tfFactor(20, 3))
+    // max_score = score(255, 2_013_265_944)
+    assert(w.maxScore == w.score(255, 2013265944L))
+    assert(w.boostBy(2.0f).weight == w.weight * 2.0f)
+  }
+
+  test("wand block-max tf cap encode/decode (skip.rs:24-35,296-311)") {
+    def enc(tf: Long): Int = math.min(tf, 255L).toInt
+    def dec(code: Int): Long = if (code == 255) 0xffffffffL else code.toLong
+    assert(enc(3) == 3 && dec(3) == 3L)
+    assert(enc(255) == 255 && enc(1000) == 255)
+    assert(dec(255) == 0xffffffffL)
+  }
+}
