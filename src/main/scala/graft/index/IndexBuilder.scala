@@ -1,0 +1,237 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.analysis.{Analysis, FieldNorm}
+import graft.score.Bm25
+
+/** Batch index build — the Spark-native replacement for the reference's
+  * `IndexWriter` pipeline (`src/indexer/index_writer.rs`,
+  * `segment_writer.rs`, `postings_writer.rs`, `serializer.rs`).
+  *
+  * Shape (SURVEY.md §3.1): read input -> flatMap analyze (with per-doc local
+  * aggregation, replacing the in-RAM arena hashmap) -> shuffle on
+  * (segId, docId) for fieldnorms -> shuffle on (segId, term) + sort ->
+  * streaming 128-doc block assembly in mapPartitions -> Parquet segment
+  * tables -> per-batch checkpoint -> atomic manifest commit.
+  *
+  * Scale notes:
+  *  - Segment membership is a pure hash of the primary key, so the built
+  *    index is IDENTICAL regardless of input partitioning or parallelism
+  *    (local[8] == local[32] == 1000 executors) — required for rank identity
+  *    and resumability.
+  *  - The (segId, term) shuffle never splits a posting list: skew from hot
+  *    terms (keywords like `if`) is bounded by segment sizing (a posting list
+  *    holds at most one segment's docs; cap segments like the reference's
+  *    MAX_DOC_LIMIT, `merger.rs:27`), and block assembly streams with O(block)
+  *    memory, so a hot term costs linear time in one task, not OOM.
+  *  - Batches are the checkpoint/resume unit: segId % buildBatches == b.
+  *    A restarted build skips checkpointed batches (content-addressed by
+  *    config hash) — the north rule's per-partition lineage requirement.
+  */
+object IndexBuilder {
+
+  /** Per-doc analysis + local aggregation: one source row is one document, so
+    * the (term -> tf, positions) aggregation is exact map-side work with no
+    * shuffle (the reference does the same inside `SegmentWriter`,
+    * `segment_writer.rs:146-348`).
+    */
+  def perDocTerms(segId: Int, docId: Int, content: String,
+                  withPositions: Boolean): Iterator[DocTermRow] = {
+    val terms = Analysis.defaultTerms(content)
+    if (terms.isEmpty) Iterator.empty
+    else {
+      val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+      terms.foreach { case (t, p) =>
+        var buf = m.get(t)
+        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Int]; m.put(t, buf) }
+        buf += p
+      }
+      val it = m.entrySet().iterator()
+      new Iterator[DocTermRow] {
+        def hasNext: Boolean = it.hasNext
+        def next(): DocTermRow = {
+          val e = it.next()
+          val ps = e.getValue
+          DocTermRow(segId, docId, e.getKey, ps.length,
+            if (withPositions) ps.toArray else Array.emptyIntArray)
+        }
+      }
+    }
+  }
+
+  /** Streaming 128-doc block assembly over rows sorted by (segId, term,
+    * docId). Replaces `PostingsSerializer::write_block`
+    * (`serializer.rs:339-451`): per full block emit lastDoc (skip entry) and
+    * the block-max WAND pair = argmax of tf_factor(normId, tf) under the
+    * segment-local average fieldnorm (`serializer.rs:389-413`; tf_factor does
+    * not depend on doc_freq, only on the norm cache). Ties keep the LAST
+    * maximal element, like Rust's `max_by`. The tail partial block stores
+    * (255, 255) — decodes to a valid upper bound (the reference's VInt tail
+    * has no pair and falls back to the term-level max_score).
+    */
+  private final case class Pending(segId: Int, term: String)
+
+  def buildBlocks(rows: Iterator[(Int, Int, String, Int, Int, Array[Int])],
+                  avgFieldnorm: Map[Int, Float],
+                  field: String, blockSize: Int): Iterator[PostingBlock] =
+    new Iterator[PostingBlock] {
+      private val caches = scala.collection.mutable.Map.empty[Int, Array[Float]]
+      private def cache(segId: Int): Array[Float] =
+        caches.getOrElseUpdate(segId, Bm25.computeTfCache(avgFieldnorm(segId)))
+
+      private var cur: Pending = null
+      private var blockId = 0
+      private val docs = new scala.collection.mutable.ArrayBuffer[Int](blockSize)
+      private val tfs = new scala.collection.mutable.ArrayBuffer[Int](blockSize)
+      private val norms = new scala.collection.mutable.ArrayBuffer[Int](blockSize)
+      private val poss = new scala.collection.mutable.ArrayBuffer[Array[Int]](blockSize)
+      private var out: PostingBlock = null
+
+      private def emit(full: Boolean): PostingBlock = {
+        val c = cache(cur.segId)
+        var maxN = 255; var maxT = 255
+        if (full) {
+          // argmax of tf/(tf + cache(norm)); later index wins ties (Rust max_by)
+          var best = -1.0f; var bi = 0; var i = 0
+          while (i < docs.length) {
+            val tf = tfs(i).toFloat
+            val f = tf / (tf + c(norms(i) & 0xff))
+            if (f >= best) { best = f; bi = i }
+            i += 1
+          }
+          maxN = norms(bi)
+          maxT = math.min(tfs(bi), 255) // skip.rs:24-27 cap
+        }
+        val b = PostingBlock(cur.segId, field, cur.term, blockId,
+          docs.last, docs.toArray, tfs.toArray, norms.toArray, maxN, maxT,
+          poss.toArray)
+        blockId += 1
+        docs.clear(); tfs.clear(); norms.clear(); poss.clear()
+        b
+      }
+
+      private def advance(): Unit = {
+        while (out == null && rows.hasNext) {
+          val (segId, docId, term, tf, normId, positions) = rows.next()
+          val key = Pending(segId, term)
+          if (cur != null && key != cur && docs.nonEmpty) {
+            out = emit(full = false) // flush tail block of previous term
+            // stash current row by falling through after emit
+            cur = key; blockId = 0
+            docs += docId; tfs += tf; norms += normId; poss += positions
+            return // out is set; the stashed row is flushed on a later call
+          }
+          if (cur == null || key != cur) { cur = key; blockId = 0 }
+          docs += docId; tfs += tf; norms += normId; poss += positions
+          if (docs.length >= blockSize) out = emit(full = true)
+        }
+        if (out == null && docs.nonEmpty) out = emit(full = false)
+      }
+
+      def hasNext: Boolean = { if (out == null) advance(); out != null }
+      def next(): PostingBlock = {
+        if (out == null) advance()
+        val r = out; out = null; r
+      }
+    }
+
+  val fieldnormToIdUdf = udf((n: Long) => FieldNorm.fieldnormToId(n))
+
+  /** Deterministic segment assignment: pure hash of the primary key. */
+  def withSegId(input: DataFrame, numSegments: Int): DataFrame =
+    input.withColumn("segId",
+      pmod(xxhash64(col("repo"), col("path"), col("commit")), lit(numSegments)).cast("int"))
+
+  /** Build (or resume) the index. Returns the committed manifest. */
+  def build(spark: SparkSession, input: DataFrame, indexDir: String,
+            cfg: IndexConfig): Manifest.IndexMeta = {
+    import spark.implicits._
+    val done = Manifest.listCheckpointedBatches(indexDir, cfg.configHash)
+    val allSegs = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+
+    for (b <- 0 until cfg.buildBatches) {
+      if (done.contains(b)) {
+        allSegs ++= Manifest.readCheckpoint(indexDir, b, cfg.configHash)
+      } else {
+        val t0 = System.nanoTime()
+        val batchDocs = withSegId(input, cfg.numSegments)
+          .where(pmod(col("segId"), lit(cfg.buildBatches)) === b)
+
+        // dense, deterministic per-segment docIds (FIXTURES.md: dense rank
+        // over the primary key; never monotonically_increasing_id)
+        val w = Window.partitionBy(col("segId")).orderBy(col("repo"), col("path"), col("commit"))
+        val base = batchDocs
+          .withColumn("docId", (row_number().over(w) - 1).cast("int"))
+          .withColumn("sha256", sha2(col("content"), 256))
+          .withColumn("contentLen", length(col("content")))
+
+        val withPos = cfg.withPositions
+        val analyzed: Dataset[DocTermRow] = base
+          .select($"segId", $"docId", $"content").as[(Int, Int, String)]
+          .flatMap { case (s, d, c) => perDocTerms(s, d, c, withPos) }
+
+        // fieldnorm = post-filter token count = sum(tf) per doc
+        val tokenCounts = analyzed.groupBy($"segId", $"docId")
+          .agg(sum($"tf").as("tokenCount"))
+
+        val docmap = base.drop("content")
+          .join(tokenCounts, Seq("segId", "docId"), "left")
+          .withColumn("tokenCount", coalesce($"tokenCount", lit(0L)))
+          .withColumn("normId", fieldnormToIdUdf($"tokenCount"))
+          .select($"segId", $"docId", $"repo", $"path", $"commit", $"lang",
+            $"sha256", $"normId", $"tokenCount", $"contentLen")
+        docmap.write.mode("overwrite").parquet(s"$indexDir/docmap/batch=$b")
+
+        val docmapW = spark.read.parquet(s"$indexDir/docmap/batch=$b")
+
+        // segment stats (drive both BM25 global stats and the block-max cache)
+        val statsRows = docmapW.groupBy($"segId")
+          .agg(sum($"tokenCount").as("totalNumTokens"), count(lit(1)).as("numDocs"))
+          .select($"segId", lit(cfg.field).as("field"), $"totalNumTokens", $"numDocs")
+          .as[StatsRow].collect()
+        val avgFn: Map[Int, Float] = statsRows
+          .map(s => s.segId -> Bm25.averageFieldnorm(s.totalNumTokens, s.numDocs)).toMap
+        statsRows.toSeq.toDS().write.mode("overwrite").parquet(s"$indexDir/stats/batch=$b")
+
+        // postings: join normId in, shuffle to (segId, term), sort, block-build
+        val field = cfg.field; val blockSize = cfg.blockSize
+        val avgFnB = spark.sparkContext.broadcast(avgFn)
+        val blocks = analyzed
+          .join(docmapW.select($"segId", $"docId", $"normId"), Seq("segId", "docId"))
+          .select($"segId", $"docId", $"term", $"tf", $"normId", $"positions")
+          .as[(Int, Int, String, Int, Int, Array[Int])]
+          .repartition($"segId", $"term")
+          .sortWithinPartitions($"segId", $"term", $"docId")
+          .mapPartitions(rows => buildBlocks(rows, avgFnB.value, field, blockSize))
+        blocks.write.mode("overwrite").parquet(s"$indexDir/postings/batch=$b")
+
+        // term dictionary from the written blocks (128x smaller than postings)
+        val postingsW = spark.read.parquet(s"$indexDir/postings/batch=$b")
+        postingsW.groupBy($"segId", $"field", $"term")
+          .agg(sum(size($"docIds")).as("docFreq"), count(lit(1)).cast("int").as("numBlocks"))
+          .write.mode("overwrite").parquet(s"$indexDir/termdict/batch=$b")
+
+        // per-row sha256 verification: re-read what we wrote, compare to source
+        val mismatches = docmapW.select($"repo", $"path", $"commit", $"sha256")
+          .join(batchDocs.select($"repo", $"path", $"commit",
+            sha2($"content", 256).as("srcSha")), Seq("repo", "path", "commit"))
+          .where($"sha256" =!= $"srcSha").count()
+        val shaOk = mismatches == 0L
+
+        val termCounts = spark.read.parquet(s"$indexDir/termdict/batch=$b")
+          .groupBy($"segId").agg(count(lit(1)).as("terms"))
+          .as[(Int, Long)].collect().toMap
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        val segs = statsRows.map(s => SegmentMeta(s.segId, b, s.numDocs,
+          s.totalNumTokens, termCounts.getOrElse(s.segId, 0L), wallMs, shaOk)).toSeq
+        Manifest.writeCheckpoint(indexDir, b, cfg.configHash, segs)
+        allSegs ++= segs
+      }
+    }
+    val meta = Manifest.IndexMeta(cfg.configHash, allSegs.toSeq)
+    Manifest.write(indexDir, meta)
+    meta
+  }
+}

@@ -1,0 +1,75 @@
+package graft.index
+
+/** Input row shape (BASELINE.json input_hint): an Iceberg/Parquet table of
+  * source-code files. The engine never assumes more columns than these.
+  */
+final case class SourceFile(repo: String, path: String, commit: String, lang: String, content: String)
+
+/** docmap — one row per indexed document (the docstore + fast-field table;
+  * reference analogs: docstore `src/store/`, fieldnorms `src/fieldnorm/`,
+  * fast fields `ARCHITECTURE.md:161-194` — Parquet is already columnar, so
+  * fast fields are just typed columns here).
+  * DocId is the segment-local dense u32 of the reference
+  * (`ARCHITECTURE.md:66-72`): dense rank over (repo, path, commit) within the
+  * segment — deterministic across reruns and parallelism levels.
+  */
+final case class DocMapRow(
+    segId: Int, docId: Int,
+    repo: String, path: String, commit: String, lang: String,
+    sha256: String, normId: Int, tokenCount: Long, contentLen: Int)
+
+/** One posting-list block — 128 docs max, the reference's bitpacked block
+  * re-expressed as a Spark-native columnar row (`src/postings/serializer.rs:
+  * 365-451`; block size `compression/mod.rs:4`). Parquet's encodings replace
+  * the manual bitpacking. `lastDoc` is the skip entry (`skip.rs:56-73`);
+  * (maxNormId, maxTf) is the block-max WAND pair chosen by argmax of
+  * tf_factor under the segment-local weight (`serializer.rs:389-413`), with
+  * tf capped at 255 (255 decodes to u32::MAX, `skip.rs:24-35`). For the
+  * final partial block the reference stores no pair (VInt tail); we store
+  * (255, 255) — a valid upper bound with the same decode rule.
+  * `normIds` denormalizes the per-doc fieldnorm byte into the block so the
+  * WAND executor is self-contained (the reference reads the .fieldnorm file).
+  * `positions` is aligned with `docIds`; empty when positions are disabled.
+  */
+final case class PostingBlock(
+    segId: Int, field: String, term: String, blockId: Int,
+    lastDoc: Int,
+    docIds: Array[Int], tfs: Array[Int], normIds: Array[Int],
+    maxNormId: Int, maxTf: Int,
+    positions: Array[Array[Int]])
+
+/** Term dictionary summary — TermInfo analog (`src/postings/term_info.rs:9-16`):
+  * per-segment doc_freq drives index-global idf and cost-ordered intersection.
+  */
+final case class TermDictRow(segId: Int, field: String, term: String, docFreq: Long, numBlocks: Int)
+
+/** Per-segment field statistics (`src/index/inverted_index_reader.rs:251`,
+  * summed index-globally at query time per `bm25.rs:25-48`).
+  */
+final case class StatsRow(segId: Int, field: String, totalNumTokens: Long, numDocs: Long)
+
+/** Intermediate: one (doc, term) posting with positions, pre-blocking. */
+final case class DocTermRow(
+    segId: Int, docId: Int, term: String, tf: Int, positions: Array[Int])
+
+/** Manifest entry — per-segment lineage + metrics (north-rule requirement):
+  * which input batch produced it, rows/bytes/terms, wall time, sha256 check.
+  */
+final case class SegmentMeta(
+    segId: Int, batch: Int, rows: Long, tokens: Long, terms: Long,
+    buildWallMs: Long, sha256ok: Boolean)
+
+/** Index configuration (analog of the reference schema + IndexSettings). */
+final case class IndexConfig(
+    numSegments: Int = 8,
+    field: String = "content",
+    blockSize: Int = 128,          // COMPRESSION_BLOCK_SIZE, compression/mod.rs:4
+    withPositions: Boolean = true, // IndexRecordOption::WithFreqsAndPositions (TEXT preset)
+    buildBatches: Int = 1          // checkpointable segment batches per build
+) {
+  def configHash: String = {
+    val s = s"v1|$numSegments|$field|$blockSize|$withPositions|$buildBatches"
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+}

@@ -1,0 +1,155 @@
+package graft.query
+
+/** Query ADT — the engine's `Query` tree (reference `src/query/`; the
+  * parser in §3.3 compiles user text into this).
+  */
+sealed trait Occur
+object Occur {
+  /** `query-grammar/src/occur.rs:10-20` */
+  case object Must extends Occur
+  case object Should extends Occur
+  case object MustNot extends Occur
+}
+
+sealed trait Query
+
+/** `src/query/term_query/term_query.rs:60` — BM25-scored single term. */
+final case class TermQ(term: String) extends Query
+
+/** `src/query/boolean_query/boolean_query.rs` — Occur algebra; score = sum of
+  * matching positive sub-scores (`score_combiner.rs:39`). `minShouldMatch`
+  * applies when no Must clause is present (`boolean_weight.rs:101-257`).
+  */
+final case class BoolQ(clauses: Seq[(Occur, Query)], minShouldMatch: Int = 1) extends Query
+
+/** `src/query/phrase_query/phrase_query.rs:23` — all terms at relative
+  * positions (offset, term); slop = total budget; the phrase occurrence count
+  * is the tf fed to BM25 (`phrase_scorer.rs:82-143`).
+  */
+final case class PhraseQ(terms: Seq[(Int, String)], slop: Int = 0) extends Query
+object PhraseQ {
+  def of(words: String*): PhraseQ = PhraseQ(words.zipWithIndex.map { case (w, i) => (i, w) })
+}
+
+/** `src/query/range_query/range_query.rs:71-170` — range over a fast-field
+  * column of docmap, constant score 1.0. Bounds are inclusive/exclusive.
+  */
+final case class RangeQ(column: String,
+    lower: Option[(Double, Boolean)], upper: Option[(Double, Boolean)]) extends Query
+
+/** `src/query/set_query.rs:13` — docs containing any term of the set, const score. */
+final case class TermSetQ(terms: Set[String]) extends Query
+
+/** `src/query/fuzzy_query.rs:80-131` — Levenshtein distance <= d (max 2),
+  * optional transposition cost 1, optional prefix mode; const score 1.0.
+  */
+final case class FuzzyQ(term: String, distance: Int = 1,
+    transposition: Boolean = false, prefix: Boolean = false) extends Query
+
+/** `src/query/regex_query.rs:57` — regex over the term dictionary, const score. */
+final case class RegexQ(pattern: String) extends Query
+
+/** `src/query/exist_query.rs:36-94` — docs where a docmap column is non-null. */
+final case class ExistsQ(column: String) extends Query
+
+/** `src/query/all_query.rs:12-38` — every doc, score 1.0. */
+case object AllQ extends Query
+
+/** `src/query/empty_query.rs:12` — matches nothing. */
+case object EmptyQ extends Query
+
+/** `src/query/boost_query.rs:13` — multiply child scores (weight-level boost,
+  * `bm25.rs:80-87`).
+  */
+final case class BoostQ(q: Query, boost: Float) extends Query
+
+/** `src/query/const_score_query.rs:12-95` — replace child scores with a constant. */
+final case class ConstScoreQ(q: Query, score: Float) extends Query
+
+/** `src/query/disjunction_max_query.rs:75` — max(children) + tie * sum(others)
+  * (`score_combiner.rs:60-90`).
+  */
+final case class DisMaxQ(qs: Seq[Query], tieBreaker: Float = 0.0f) extends Query
+
+/** Driver-side query parser for the search-benchmark-game subset
+  * (reference grammar `query-grammar/src/query_grammar.rs`; semantics
+  * `query_parser.rs:336-1080`):
+  *   word            -> Should TermQ (after re-analyzing with the default chain)
+  *   +word / -word   -> Must / MustNot
+  *   "a b" (~slop)   -> PhraseQ
+  * A literal that analyzes to 0 tokens is dropped; to 1 token -> TermQ; to
+  * >= 2 tokens -> PhraseQ (`query_parser.rs:958-996`). Multiple clauses form
+  * a BoolQ; a single positive clause is unwrapped (`boolean_weight.rs:263-271`).
+  */
+object QueryParser {
+  import graft.analysis.Analysis
+
+  private def literal(text: String): Option[Query] = {
+    val toks = Analysis.defaultAnalyze(text)
+    toks.length match {
+      case 0 => None
+      case 1 => Some(TermQ(toks.head.text))
+      case _ => Some(PhraseQ(toks.map(t => (t.position, t.text))))
+    }
+  }
+
+  def parse(input: String, conjunctionByDefault: Boolean = false): Query = {
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Occur, String)]
+    val re = """([+-])?("([^"]*)"|\S+)""".r
+    for (m <- re.findAllMatchIn(input)) {
+      val occur = m.group(1) match {
+        case "+" => Occur.Must
+        case "-" => Occur.MustNot
+        case _ => if (conjunctionByDefault) Occur.Must else Occur.Should
+      }
+      val text = if (m.group(3) != null) m.group(3) else m.group(2)
+      raw += ((occur, text))
+    }
+    val clauses = raw.toSeq.flatMap { case (o, t) => literal(t).map(q => (o, q)) }
+    clauses match {
+      case Seq() => EmptyQ
+      case Seq((Occur.Must, q)) => q
+      case Seq((Occur.Should, q)) => q
+      case cs => BoolQ(cs)
+    }
+  }
+}
+
+/** Banded Levenshtein (distance <= 2) with optional Damerau transposition,
+  * over Unicode code points — semantics of the reference's Levenshtein
+  * automaton (`src/query/fuzzy_query.rs`), evaluated directly per candidate
+  * term (the candidate set is the distinct term dictionary, already
+  * deduplicated and small relative to the corpus).
+  */
+object Levenshtein {
+  def within(a0: String, b0: String, maxD: Int, transposition: Boolean): Boolean = {
+    val a = a0.codePoints().toArray
+    val b = b0.codePoints().toArray
+    if (math.abs(a.length - b.length) > maxD) return false
+    val prev2 = new Array[Int](b.length + 1)
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var curr = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      curr(0) = i
+      var best = curr(0)
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        var v = math.min(math.min(prev(j) + 1, curr(j - 1) + 1), prev(j - 1) + cost)
+        if (transposition && i > 1 && j > 1 &&
+            a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1)) {
+          v = math.min(v, prev2(j - 2) + 1)
+        }
+        curr(j) = v
+        if (v < best) best = v
+        j += 1
+      }
+      if (best > maxD) return false // whole band exceeded
+      System.arraycopy(prev, 0, prev2, 0, prev.length)
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(b.length) <= maxD
+  }
+}

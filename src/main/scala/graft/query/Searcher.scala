@@ -1,0 +1,292 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.score.Bm25
+
+final case class ScoredDoc(segId: Int, docId: Int, score: Float)
+final case class Hit(segId: Int, docId: Int, score: Float)
+
+/** A pinned view over one committed index (the reference `Searcher`,
+  * `src/core/searcher.rs`): global BM25 statistics are summed across
+  * segments (`bm25.rs:25-48`) on the driver — a tiny metadata job — and the
+  * per-query plan is a Catalyst Dataset pipeline over the segment tables.
+  *
+  * All scoring on the tantivy-parity path is single-precision float in the
+  * reference operation order; per-document combination across clauses sums in
+  * clause order (deterministic), since float addition is not associative.
+  */
+class Searcher(val spark: SparkSession, val indexDir: String, val field: String = "content") {
+  import spark.implicits._
+
+  lazy val postings: DataFrame = spark.read.parquet(s"$indexDir/postings").cache()
+  lazy val docmap: DataFrame = spark.read.parquet(s"$indexDir/docmap").cache()
+  lazy val termdict: DataFrame = spark.read.parquet(s"$indexDir/termdict").cache()
+  lazy val statsDf: DataFrame = spark.read.parquet(s"$indexDir/stats")
+
+  /** Index-global statistics (`bm25.rs:25-48`): totals summed over segments. */
+  lazy val (totalNumTokens: Long, totalNumDocs: Long) = {
+    val r = statsDf.where($"field" === field)
+      .agg(sum($"totalNumTokens"), sum($"numDocs")).as[(Long, Long)].head()
+    (r._1, r._2)
+  }
+  lazy val avgFieldnorm: Float = Bm25.averageFieldnorm(totalNumTokens, totalNumDocs)
+
+  /** Global doc_freq per term: per-segment df summed (`bm25.rs:45-48`). */
+  def docFreqs(terms: Seq[String]): Map[String, Long] = {
+    if (terms.isEmpty) return Map.empty
+    termdict.where($"field" === field && $"term".isin(terms: _*))
+      .groupBy($"term").agg(sum($"docFreq").as("df"))
+      .as[(String, Long)].collect().toMap
+  }
+
+  def weightsFor(terms: Seq[String]): Map[String, Bm25.Weight] = {
+    val dfs = docFreqs(terms)
+    terms.distinct.flatMap { t =>
+      dfs.get(t).map(df => t -> Bm25.forOneTerm(df, totalNumDocs, avgFieldnorm))
+    }.toMap
+  }
+
+  /** Exploded scored postings for a set of terms, one scan, partition/
+    * row-group pruned by the `term` predicate:
+    * (segId, docId, term, score: Float).
+    */
+  def scoredTermDocs(terms: Seq[String]): DataFrame = {
+    val weights = weightsFor(terms)
+    val scoreU = udf((term: String, tf: Int, normId: Int) =>
+      weights.get(term).map(_.score(normId, tf)).getOrElse(0.0f))
+    postings
+      .where($"field" === field && $"term".isin(terms.distinct: _*))
+      .select($"segId", $"term", explode(arrays_zip($"docIds", $"tfs", $"normIds")).as("p"))
+      .select($"segId", $"term", $"p.docIds".as("docId"),
+        scoreU($"term", $"p.tfs", $"p.normIds").as("score"))
+  }
+
+  /** Unscored doc set for a term set (TermSetQuery / automaton expansions). */
+  def docsForTerms(terms: Seq[String]): Dataset[ScoredDoc] = {
+    if (terms.isEmpty) return spark.emptyDataset[ScoredDoc]
+    postings.where($"field" === field && $"term".isin(terms.distinct: _*))
+      .select($"segId", explode($"docIds").as("docId"))
+      .distinct()
+      .select($"segId", $"docId", lit(1.0f).as("score"))
+      .as[ScoredDoc]
+  }
+
+  lazy val allTerms: DataFrame =
+    termdict.where($"field" === field).select($"term").distinct()
+
+  // ---------- query compilation ----------
+
+  /** Compile a query to its matching (segId, docId, score) set. */
+  def compile(q: Query): Dataset[ScoredDoc] = q match {
+    case EmptyQ => spark.emptyDataset[ScoredDoc]
+    case AllQ =>
+      docmap.select($"segId", $"docId", lit(1.0f).as("score")).as[ScoredDoc]
+    case TermQ(t) =>
+      scoredTermDocs(Seq(t)).select($"segId", $"docId", $"score").as[ScoredDoc]
+    case TermSetQ(ts) => docsForTerms(ts.toSeq.sorted)
+    case RegexQ(pattern) =>
+      val ts = allTerms.where(regexp_like($"term", lit(pattern)))
+        .as[String].collect().toSeq.sorted
+      docsForTerms(ts)
+    case FuzzyQ(term, d, transpose, prefix) =>
+      // driver-side scan of the distinct term dictionary with a banded DP —
+      // the FST+DFA intersection of the reference (`fuzzy_query.rs:80-131`)
+      // re-expressed over the deduplicated term dict; const score 1.0.
+      val cands = allTerms.as[String].collect()
+      val matched = cands.filter { c =>
+        if (prefix && c.length >= term.length)
+          Levenshtein.within(term, c.substring(0, term.length), d, transpose) ||
+            Levenshtein.within(term, c, d, transpose)
+        else Levenshtein.within(term, c, d, transpose)
+      }.toSeq.sorted
+      docsForTerms(matched)
+    case RangeQ(columnName, lower, upper) =>
+      var df = docmap
+      lower.foreach { case (v, incl) =>
+        df = if (incl) df.where(col(columnName) >= v) else df.where(col(columnName) > v) }
+      upper.foreach { case (v, incl) =>
+        df = if (incl) df.where(col(columnName) <= v) else df.where(col(columnName) < v) }
+      df.select($"segId", $"docId", lit(1.0f).as("score")).as[ScoredDoc]
+    case ExistsQ(columnName) =>
+      docmap.where(col(columnName).isNotNull)
+        .select($"segId", $"docId", lit(1.0f).as("score")).as[ScoredDoc]
+    case BoostQ(sub, boost) =>
+      compile(sub).map(s => s.copy(score = s.score * boost))
+    case ConstScoreQ(sub, c) =>
+      compile(sub).map(s => s.copy(score = c))
+    case DisMaxQ(qs, tie) =>
+      // max + tie * (sum of the others), accumulated in clause order
+      // (`score_combiner.rs:60-90`)
+      val tagged = qs.zipWithIndex.map { case (sub, i) =>
+        compile(sub).map(s => (s.segId, s.docId, i, s.score)) }
+      val all = tagged.reduceLeft(_ union _)
+      all.groupByKey(r => (r._1, r._2)).mapGroups { (key, rows) =>
+        val sorted = rows.toArray.sortBy(_._3)
+        var mx = Float.MinValue; var sm = 0.0f
+        sorted.foreach { r => sm += r._4; if (r._4 > mx) mx = r._4 }
+        ScoredDoc(key._1, key._2, mx + tie * (sm - mx))
+      }
+    case p: PhraseQ => compilePhrase(p)
+    case b: BoolQ => compileBool(b)
+  }
+
+  /** Boolean combination (`boolean_weight.rs:101-257`): doc matches iff all
+    * Musts match, no MustNot matches, and — when there is no Must — at least
+    * `minShouldMatch` Shoulds match. Score = sum of matching positive clause
+    * scores in clause order (`SumCombiner`, `score_combiner.rs:39`).
+    * All-TermQ positive clauses collapse into ONE postings scan (isin over
+    * the term list — single pruned scan instead of one per clause).
+    */
+  private def compileBool(b: BoolQ): Dataset[ScoredDoc] = {
+    val positives = b.clauses.filter(_._1 != Occur.MustNot)
+    val negatives = b.clauses.collect { case (Occur.MustNot, q) => q }
+    if (positives.isEmpty) return spark.emptyDataset[ScoredDoc] // MustNot-only matches nothing (boolean_weight.rs:266-269)
+    val numMusts = positives.count(_._1 == Occur.Must)
+    val minShould = if (numMusts > 0) 0 else math.max(b.minShouldMatch, 1)
+
+    val allTermLeaves = positives.forall(_._2.isInstanceOf[TermQ])
+    val tagged: Dataset[(Int, Int, Int, Boolean, Float)] =
+      if (allTermLeaves) {
+        val metas = positives.zipWithIndex.map { case ((occ, TermQ(t)), i) =>
+          (t, i, occ == Occur.Must) }
+        val byTerm = metas.groupBy(_._1)
+        val scored = scoredTermDocs(metas.map(_._1).distinct)
+        scored.select($"segId", $"docId", $"term", $"score")
+          .as[(Int, Int, String, Float)]
+          .flatMap { case (seg, doc, term, sc) =>
+            byTerm.getOrElse(term, Seq.empty).map { case (_, i, isMust) =>
+              (seg, doc, i, isMust, sc) } }
+      } else {
+        positives.zipWithIndex.map { case ((occ, sub), i) =>
+          val isMust = occ == Occur.Must
+          compile(sub).map(s => (s.segId, s.docId, i, isMust, s.score))
+        }.reduceLeft(_ union _)
+      }
+
+    val combined = tagged.groupByKey(r => (r._1, r._2)).flatMapGroups { (key, rows) =>
+      val sorted = rows.toArray.sortBy(_._3)
+      var mustC = 0; var shouldC = 0; var sc = 0.0f
+      sorted.foreach { r => if (r._4) mustC += 1 else shouldC += 1; sc += r._5 }
+      val ok = mustC == numMusts && (numMusts > 0 || shouldC >= minShould)
+      if (ok) Iterator.single(ScoredDoc(key._1, key._2, sc)) else Iterator.empty
+    }
+
+    if (negatives.isEmpty) combined
+    else {
+      val neg = negatives.map(compile).reduceLeft(_ union _)
+        .select($"segId", $"docId").distinct()
+      combined.join(neg, Seq("segId", "docId"), "left_anti").as[ScoredDoc]
+    }
+  }
+
+  /** Phrase matching (`phrase_query.rs`, `phrase_scorer.rs:82-143`): docs
+    * containing all terms with positions satisfying the relative offsets
+    * (slop 0 = exact adjacency); phrase occurrence count is the tf fed to the
+    * multi-term BM25 weight (summed idf, `bm25.rs:115-123`).
+    */
+  private def compilePhrase(p: PhraseQ): Dataset[ScoredDoc] = {
+    val terms = p.terms.map(_._2)
+    val dfs = docFreqs(terms.distinct)
+    if (terms.distinct.exists(t => !dfs.contains(t))) return spark.emptyDataset[ScoredDoc]
+    val weight = Bm25.forTerms(terms.map(dfs), totalNumDocs, avgFieldnorm)
+    val offsets = p.terms.map(_._1)
+    val nTerms = p.terms.length
+    val termIdx: Map[String, Seq[Int]] =
+      p.terms.zipWithIndex.groupBy(_._1._2).map { case (t, xs) => t -> xs.map(_._2) }
+    val slop = p.slop
+
+    val rows = postings
+      .where($"field" === field && $"term".isin(terms.distinct: _*))
+      .select($"segId", $"term",
+        explode(arrays_zip($"docIds", $"normIds", $"positions")).as("p"))
+      .select($"segId", $"term", $"p.docIds".as("docId"),
+        $"p.normIds".as("normId"), $"p.positions".as("positions"))
+      .as[(Int, String, Int, Int, Array[Int])]
+
+    rows.groupByKey(r => (r._1, r._3)).flatMapGroups { (key, it) =>
+      val byIdx = new Array[Array[Int]](nTerms)
+      var normId = 0
+      it.foreach { case (_, term, _, n, pos) =>
+        normId = n
+        termIdx.getOrElse(term, Seq.empty).foreach(i => byIdx(i) = pos)
+      }
+      if (byIdx.exists(_ == null)) Iterator.empty
+      else {
+        val count = PhraseMatcher.phraseCount(offsets.toArray, byIdx, slop)
+        if (count > 0)
+          Iterator.single(ScoredDoc(key._1, key._2, weight.score(normId, count)))
+        else Iterator.empty
+      }
+    }
+  }
+
+  // ---------- collectors ----------
+
+  /** TopDocs collector (`top_collector.rs:45-61,102-122`): global top-k by
+    * (score desc, segId asc, docId asc), offset skipped after the merge.
+    */
+  def topDocs(q: Query, k: Int, offset: Int = 0): Array[Hit] =
+    compile(q)
+      .orderBy(desc("score"), asc("segId"), asc("docId"))
+      .limit(k + offset)
+      .as[ScoredDoc].collect().drop(offset).map(s => Hit(s.segId, s.docId, s.score))
+
+  /** Count collector (`count_collector.rs:36-61`). */
+  def count(q: Query): Long = compile(q).count()
+
+  /** Top-k for a pure multi-term disjunction through the block-max WAND
+    * executor (the reference's pruned path, `block_wand.rs`).
+    */
+  def topDocsWand(terms: Seq[String], k: Int): Array[Hit] =
+    Wand.topK(this, terms, k)
+}
+
+/** Positional phrase matching, replicating `intersection_count_with_slop`
+  * semantics for slop 0 (exact relative offsets) and a positive-slop variant
+  * where each term may deviate so the total displacement stays <= slop.
+  */
+object PhraseMatcher {
+  /** Count base positions p such that term i occurs at p + offsets(i)
+    * (slop 0). For slop > 0, term i may occur at p + offsets(i) + d_i with
+    * sum(|d_i|) <= slop (transposition-friendly budget semantics,
+    * `phrase_query.rs:68-70`).
+    */
+  def phraseCount(offsets: Array[Int], positions: Array[Array[Int]], slop: Int): Int = {
+    val first = positions(0)
+    var count = 0
+    var fi = 0
+    while (fi < first.length) {
+      val base = first(fi) - offsets(0)
+      if (slop == 0) {
+        var ok = true; var i = 1
+        while (ok && i < offsets.length) {
+          ok = java.util.Arrays.binarySearch(positions(i), base + offsets(i)) >= 0
+          i += 1
+        }
+        if (ok) count += 1
+      } else {
+        var budget = slop; var ok = true; var i = 1
+        while (ok && i < offsets.length) {
+          val want = base + offsets(i)
+          // nearest occurrence to the wanted position
+          val arr = positions(i)
+          var ins = java.util.Arrays.binarySearch(arr, want)
+          if (ins >= 0) () // exact, costs 0
+          else {
+            ins = -ins - 1
+            var bestD = Int.MaxValue
+            if (ins < arr.length) bestD = math.min(bestD, math.abs(arr(ins) - want))
+            if (ins > 0) bestD = math.min(bestD, math.abs(arr(ins - 1) - want))
+            budget -= bestD
+            if (budget < 0) ok = false
+          }
+          i += 1
+        }
+        if (ok) count += 1
+      }
+      fi += 1
+    }
+    count
+  }
+}

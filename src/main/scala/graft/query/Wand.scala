@@ -1,0 +1,286 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+import graft.score.Bm25
+
+/** Block-max WAND top-k executor — the headline custom operator
+  * (reference `src/query/boolean_query/block_wand.rs`, implementing the
+  * Block-Max WAND algorithm of Ding & Suel, "Faster Top-k Document Retrieval
+  * Using Block-Max Indexes", the paper the reference itself cites).
+  *
+  * Catalyst cannot express threshold-ratcheted block skipping, so this runs
+  * inside `flatMapGroups` over segment-grouped posting blocks: one task per
+  * segment group, exactly the reference's one-rayon-task-per-segment shape
+  * (`searcher.rs:220`) — and the thing that scales linearly with executors.
+  * Per-segment top-k fruits are merged on the driver
+  * (`top_collector.rs:102-122`).
+  *
+  * The scan only reads the query terms' blocks (Parquet row-group pruning on
+  * the `term` predicate); within a task, whole 128-doc blocks are skipped
+  * when their stored (maxNormId, maxTf) upper bound cannot beat the running
+  * threshold — strict `>` semantics (`block_wand.rs:206`).
+  */
+object Wand {
+
+  final val TERMINATED: Int = Int.MaxValue
+
+  /** One posting block held columnar in memory. */
+  final case class Block(lastDoc: Int, maxNormId: Int, maxTf: Int,
+                         docIds: Array[Int], tfs: Array[Int], normIds: Array[Int])
+
+  /** Decode the stored block-max tf byte (`skip.rs:29-35`): 255 -> u32::MAX. */
+  @inline private def decodeMaxTf(code: Int): Long =
+    if (code == 255) 0xffffffffL else code.toLong
+
+  /** In-memory term scorer over a segment's block list for one term.
+    * Mirrors `TermScorer` + `SkipReader`: a deep cursor (blockIdx, i) for
+    * doc()/advance()/seek() and a shallow cursor for seek_block()/
+    * block_max_score() (`skip.rs:244-283`).
+    */
+  final class TermScorer(val weight: Bm25.Weight, blocks: Array[Block]) {
+    val maxScore: Float = weight.maxScore // term_scorer.rs:91, bm25.rs:179-181
+    private var b = 0 // deep cursor: block index
+    private var i = 0 // deep cursor: offset within block
+    private var shallow = 0 // shallow cursor for block-max queries
+
+    @inline def doc: Int = if (b >= blocks.length) TERMINATED else blocks(b).docIds(i)
+
+    def advance(): Int = {
+      if (b >= blocks.length) return TERMINATED
+      i += 1
+      if (i >= blocks(b).docIds.length) { b += 1; i = 0 }
+      if (b > shallow) shallow = b
+      doc
+    }
+
+    def seek(target: Int): Int = {
+      while (b < blocks.length && blocks(b).lastDoc < target) { b += 1; i = 0 }
+      if (b >= blocks.length) { if (shallow < b) shallow = b; return TERMINATED }
+      val ids = blocks(b).docIds
+      while (ids(i) < target) i += 1 // lastDoc >= target guarantees termination
+      if (b > shallow) shallow = b
+      ids(i)
+    }
+
+    /** Shallow block seek: position the skip cursor on the first block whose
+      * lastDoc >= target without touching the deep cursor.
+      */
+    def seekBlock(target: Int): Unit = {
+      while (shallow < blocks.length && blocks(shallow).lastDoc < target) shallow += 1
+    }
+
+    def lastDocInBlock: Int =
+      if (shallow >= blocks.length) TERMINATED else blocks(shallow).lastDoc
+
+    def blockMaxScore: Float =
+      if (shallow >= blocks.length) 0.0f
+      else {
+        val blk = blocks(shallow)
+        weight.score(blk.maxNormId, decodeMaxTf(blk.maxTf))
+      }
+
+    @inline def score: Float = {
+      val blk = blocks(b)
+      weight.score(blk.normIds(i), blk.tfs(i).toLong)
+    }
+  }
+
+  /** Per-segment top-k accumulator with the reference's threshold semantics:
+    * threshold = kth best score once full (Float.MinValue before), WAND
+    * accepts strictly greater scores only, docs arrive in ascending docId so
+    * threshold-tied earlier (lower) docIds are kept — matching the
+    * (score desc, docId asc) tie order of `top_collector.rs:45-61`.
+    */
+  final class TopK(k: Int, segId: Int) {
+    // min-heap: head = lowest score; among ties, the HIGHEST docId (evict it first)
+    private val heap = scala.collection.mutable.PriorityQueue.empty[Hit](
+      Ordering.by((h: Hit) => (-h.score, h.docId)))
+    def threshold: Float = if (heap.size < k) Float.MinValue else heap.head.score
+    /** callback(doc, score) -> new threshold (`block_wand.rs:148-212`). */
+    def insert(doc: Int, score: Float): Float = {
+      if (heap.size < k) heap.enqueue(Hit(segId, doc, score))
+      else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(segId, doc, score)) }
+      threshold
+    }
+    def hits: Array[Hit] = heap.toArray
+  }
+
+  /** `find_pivot_doc` (`block_wand.rs:16-43`): scorers sorted by doc; pivot =
+    * doc of the first prefix whose cumulative term max_score exceeds (>)
+    * the threshold.
+    */
+  private def findPivot(scorers: collection.IndexedSeq[TermScorer],
+                        threshold: Float): Option[(Int, Int, Int)] = {
+    var maxScore = 0.0f
+    var beforePivotLen = 0
+    var pivotDoc = TERMINATED
+    while (beforePivotLen < scorers.length && pivotDoc == TERMINATED) {
+      maxScore += scorers(beforePivotLen).maxScore
+      if (maxScore > threshold) pivotDoc = scorers(beforePivotLen).doc
+      else beforePivotLen += 1
+    }
+    if (pivotDoc == TERMINATED) return None
+    var pivotLen = beforePivotLen + 1
+    while (pivotLen < scorers.length && scorers(pivotLen).doc == pivotDoc) pivotLen += 1
+    Some((beforePivotLen, pivotLen, pivotDoc))
+  }
+
+  private def restoreOrdering(s: scala.collection.mutable.ArrayBuffer[TermScorer], ord: Int): Unit = {
+    val doc = s(ord).doc
+    var i = ord + 1
+    while (i < s.length && s(i).doc < doc) { val t = s(i); s(i) = s(i - 1); s(i - 1) = t; i += 1 }
+  }
+
+  /** `block_max_was_too_low_advance_one_scorer` (`block_wand.rs:49-80`). */
+  private def advanceOneScorer(s: scala.collection.mutable.ArrayBuffer[TermScorer],
+                               pivotLen: Int): Unit = {
+    var scorerToSeek = pivotLen - 1
+    var globalMax = s(scorerToSeek).maxScore
+    var docToSeekAfter = s(scorerToSeek).lastDocInBlock
+    var ord = pivotLen - 2
+    while (ord >= 0) {
+      if (s(ord).lastDocInBlock <= docToSeekAfter) docToSeekAfter = s(ord).lastDocInBlock
+      if (s(ord).maxScore > globalMax) { globalMax = s(ord).maxScore; scorerToSeek = ord }
+      ord -= 1
+    }
+    if (docToSeekAfter != TERMINATED) docToSeekAfter += 1
+    var j = pivotLen
+    while (j < s.length) {
+      if (s(j).doc <= docToSeekAfter) docToSeekAfter = s(j).doc
+      j += 1
+    }
+    s(scorerToSeek).seek(docToSeekAfter)
+    restoreOrdering(s, scorerToSeek)
+  }
+
+  /** `align_scorers` (`block_wand.rs:101-124`). */
+  private def alignScorers(s: scala.collection.mutable.ArrayBuffer[TermScorer],
+                           pivotDoc: Int, beforePivotLen: Int): Boolean = {
+    var i = beforePivotLen - 1
+    while (i >= 0) {
+      val newDoc = s(i).seek(pivotDoc)
+      if (newDoc != pivotDoc) {
+        if (newDoc == TERMINATED) {
+          s(i) = s(s.length - 1); s.remove(s.length - 1) // swap_remove
+          if (i < s.length) restoreOrdering(s, i)
+        } else restoreOrdering(s, i)
+        return false
+      }
+      i -= 1
+    }
+    true
+  }
+
+  /** `advance_all_scorers_on_pivot` (`block_wand.rs:129-146`). */
+  private def advanceAllOnPivot(s: scala.collection.mutable.ArrayBuffer[TermScorer],
+                                pivotLen: Int): Unit = {
+    var i = 0
+    while (i < pivotLen) { s(i).advance(); i += 1 }
+    i = 0
+    while (i < s.length) {
+      if (s(i).doc == TERMINATED) { s(i) = s(s.length - 1); s.remove(s.length - 1) }
+      else i += 1
+    }
+    s.sortInPlaceBy(_.doc)
+    ()
+  }
+
+  /** The multi-scorer BMW loop (`block_wand.rs:148-212`). */
+  def blockWand(scorersIn: Seq[TermScorer], threshold0: Float,
+                callback: (Int, Float) => Float): Unit = {
+    val s = scala.collection.mutable.ArrayBuffer.from(scorersIn.sortBy(_.doc))
+    var threshold = threshold0
+    var continue = true
+    while (continue) {
+      findPivot(s, threshold) match {
+        case None => continue = false
+        case Some((beforePivotLen, pivotLen, pivotDoc)) =>
+          var blockMaxUpper = 0.0f
+          var i = 0
+          while (i < pivotLen) {
+            s(i).seekBlock(pivotDoc)
+            blockMaxUpper += s(i).blockMaxScore
+            i += 1
+          }
+          if (blockMaxUpper <= threshold) {
+            advanceOneScorer(s, pivotLen)
+          } else if (alignScorers(s, pivotDoc, beforePivotLen)) {
+            var score = 0.0f
+            var j = 0
+            while (j < pivotLen) { score += s(j).score; j += 1 }
+            if (score > threshold) threshold = callback(pivotDoc, score)
+            advanceAllOnPivot(s, pivotLen)
+          }
+      }
+    }
+  }
+
+  /** Single-scorer specialization (`block_wand.rs:222-261`). */
+  def blockWandSingle(scorer: TermScorer, threshold0: Float,
+                      callback: (Int, Float) => Float): Unit = {
+    var threshold = threshold0
+    var doc = scorer.doc
+    while (true) {
+      while (scorer.blockMaxScore < threshold) {
+        val last = scorer.lastDocInBlock
+        if (last == TERMINATED) return
+        doc = last + 1
+        scorer.seekBlock(doc)
+      }
+      doc = scorer.seek(doc)
+      if (doc == TERMINATED) return
+      var inner = true
+      while (inner) {
+        val score = scorer.score
+        if (score > threshold) threshold = callback(doc, score)
+        if (doc == scorer.lastDocInBlock) inner = false
+        else {
+          doc = scorer.advance()
+          if (doc == TERMINATED) return
+        }
+      }
+      doc += 1
+      scorer.seekBlock(doc)
+    }
+  }
+
+  /** Distributed top-k disjunction: one WAND run per segment group, driver
+    * merge with (score desc, segId asc, docId asc) (`top_collector.rs:102-122`).
+    */
+  def topK(searcher: Searcher, terms: Seq[String], k: Int): Array[Hit] = {
+    val spark = searcher.spark
+    import spark.implicits._
+    val weights = searcher.weightsFor(terms)
+    if (weights.isEmpty || k <= 0) return Array.empty
+    val present = terms.distinct.filter(weights.contains).sorted
+    val wB = spark.sparkContext.broadcast(weights)
+
+    val rows = searcher.postings
+      .where(col("field") === searcher.field && col("term").isin(present: _*))
+      .select($"segId", $"term", $"blockId", $"lastDoc",
+        $"maxNormId", $"maxTf", $"docIds", $"tfs", $"normIds")
+      .as[(Int, String, Int, Int, Int, Int, Array[Int], Array[Int], Array[Int])]
+
+    val perSegment = rows.groupByKey(_._1).flatMapGroups { (segId, it) =>
+      // materialize this segment's blocks per term, ordered by blockId
+      val byTerm = scala.collection.mutable.Map.empty[String,
+        scala.collection.mutable.ArrayBuffer[(Int, Block)]]
+      it.foreach { case (_, term, blockId, lastDoc, mN, mT, ds, tfs, ns) =>
+        byTerm.getOrElseUpdate(term, scala.collection.mutable.ArrayBuffer.empty) +=
+          ((blockId, Block(lastDoc, mN, mT, ds, tfs, ns)))
+      }
+      val ws = wB.value
+      val scorers = byTerm.toSeq.sortBy(_._1).map { case (term, blks) =>
+        new TermScorer(ws(term), blks.sortBy(_._1).map(_._2).toArray)
+      }
+      val topk = new TopK(k, segId)
+      if (scorers.length == 1) blockWandSingle(scorers.head, topk.threshold, topk.insert)
+      else if (scorers.nonEmpty) blockWand(scorers, topk.threshold, topk.insert)
+      topk.hits.iterator
+    }
+
+    perSegment.collect()
+      .sortBy(h => (-h.score, h.segId, h.docId))
+      .take(k)
+  }
+}
