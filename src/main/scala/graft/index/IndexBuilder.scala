@@ -73,6 +73,21 @@ object IndexBuilder {
     */
   private final case class Pending(segId: Int, term: String)
 
+  /** Block-max WAND pair for one full block: argmax of tf/(tf + cache(norm)),
+    * later index wins ties (Rust `max_by`, `serializer.rs:389-413`); tf
+    * capped at 255 (`skip.rs:24-27`).
+    */
+  def blockMaxPair(tfs: Array[Int], norms: Array[Int], cache: Array[Float]): (Int, Int) = {
+    var best = -1.0f; var bi = 0; var i = 0
+    while (i < tfs.length) {
+      val tf = tfs(i).toFloat
+      val f = tf / (tf + cache(norms(i) & 0xff))
+      if (f >= best) { best = f; bi = i }
+      i += 1
+    }
+    (norms(bi), math.min(tfs(bi), 255))
+  }
+
   def buildBlocks(rows: Iterator[(Int, Int, String, Int, Int, Array[Int])],
                   avgFieldnorm: Map[Int, Float],
                   field: String, blockSize: Int): Iterator[PostingBlock] =
@@ -90,19 +105,10 @@ object IndexBuilder {
       private var out: PostingBlock = null
 
       private def emit(full: Boolean): PostingBlock = {
-        val c = cache(cur.segId)
         var maxN = 255; var maxT = 255
         if (full) {
-          // argmax of tf/(tf + cache(norm)); later index wins ties (Rust max_by)
-          var best = -1.0f; var bi = 0; var i = 0
-          while (i < docs.length) {
-            val tf = tfs(i).toFloat
-            val f = tf / (tf + c(norms(i) & 0xff))
-            if (f >= best) { best = f; bi = i }
-            i += 1
-          }
-          maxN = norms(bi)
-          maxT = math.min(tfs(bi), 255) // skip.rs:24-27 cap
+          val (mn, mt) = blockMaxPair(tfs.toArray, norms.toArray, cache(cur.segId))
+          maxN = mn; maxT = mt
         }
         val b = PostingBlock(cur.segId, field, cur.term, blockId,
           docs.last, docs.toArray, tfs.toArray, norms.toArray, maxN, maxT,

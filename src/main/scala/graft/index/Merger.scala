@@ -1,0 +1,166 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.score.Bm25
+
+/** Segment merge (`src/indexer/merger.rs`) — doc-id remap by stacking
+  * (`convert_to_merge_order merger.rs:109`, offsets `doc_id_mapping.rs:16`)
+  * and posting-list re-serialization with remapped docIDs.
+  *
+  * Skew handling (the north rule's explicit salting requirement): a merged
+  * posting list is the CONCATENATION of the source segments' lists in segment
+  * order, so every posting's global rank is known up front:
+  *
+  *   rank = startRank(term, srcSeg) + srcBlockId * blockSize + posInBlock
+  *
+  * where startRank is the prefix sum of per-segment doc_freq from the term
+  * dictionary. The re-blocking shuffle is therefore keyed by
+  * (term, rank / blockSize) — NOT by term — which spreads a hot term's 10M
+  * postings over ~80k independent block keys of exactly blockSize rows each.
+  * No single task ever owns a whole hot posting list; this replaces the
+  * "salt + second local merge pass" with an exact, alignment-preserving salt
+  * (the salt IS the target block id).
+  */
+object Merger {
+
+  /** `LogMergePolicy` defaults (`log_merge_policy.rs:8-15`). */
+  final case class LogMergePolicy(
+      minNumSegments: Int = 8,
+      maxDocsBeforeMerge: Long = 10000000L,
+      minLayerSize: Long = 10000L,
+      levelLogSize: Double = 0.75) {
+
+    private def clipMinSize(size: Long): Long = math.max(minLayerSize, size)
+
+    /** `compute_merge_candidates` (`log_merge_policy.rs:94-130`): size-sort
+      * descending, group into log2 levels of width levelLogSize, emit levels
+      * with >= minNumSegments members. (No deletes in this engine yet, so the
+      * deletes-ratio trigger is omitted.)
+      */
+    def computeMergeCandidates(segments: Seq[SegmentMeta]): Seq[Seq[Int]] = {
+      val sorted = segments.filter(_.rows <= maxDocsBeforeMerge).sortBy(-_.rows)
+      if (sorted.isEmpty) return Seq.empty
+      var currentMaxLogSize = Double.MaxValue
+      val levels = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[SegmentMeta]]
+      sorted.foreach { seg =>
+        val segLogSize = math.log(clipMinSize(seg.rows).toDouble) / math.log(2.0)
+        if (segLogSize < currentMaxLogSize - levelLogSize) {
+          currentMaxLogSize = segLogSize
+          levels += scala.collection.mutable.ArrayBuffer.empty
+        }
+        if (levels.isEmpty) levels += scala.collection.mutable.ArrayBuffer.empty
+        levels.last += seg
+      }
+      levels.filter(_.length >= minNumSegments).map(_.map(_.segId).toSeq).toSeq
+    }
+  }
+
+  /** Merge the given segments into one new segment written under a new batch
+    * directory; commits a new manifest where the sources are replaced by the
+    * merged segment. Old files stay on disk until `gc` (manifest filtering
+    * keeps readers consistent — same immutable-segments story as the
+    * reference's `ARCHITECTURE.md:41-53`).
+    */
+  def merge(spark: SparkSession, indexDir: String, cfg: IndexConfig,
+            sourceSegIds: Seq[Int], newSegId: Int): Manifest.IndexMeta = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val meta = Manifest.read(indexDir)
+    val sources = sourceSegIds.sorted
+    val srcMetas = meta.segments.filter(s => sources.contains(s.segId))
+    require(srcMetas.size == sources.size, "unknown source segment")
+    val newBatch = meta.segments.map(_.batch).max + 1
+
+    // doc-id remap by stacking in segment order (merger.rs:109)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      sources.map { s =>
+        val o = s -> acc; acc += srcMetas.find(_.segId == s).get.rows; o
+      }.toMap
+    }
+    val offsetU = udf((segId: Int) => offsets(segId))
+
+    val docmap = spark.read.parquet(s"$indexDir/docmap")
+      .where($"segId".isin(sources: _*))
+      .withColumn("docId", ($"docId" + offsetU($"segId")).cast("int"))
+      .withColumn("segId", lit(newSegId))
+      .drop("batch")
+    docmap.write.mode("overwrite").parquet(s"$indexDir/docmap/batch=$newBatch")
+
+    // merged stats / norm cache (exact recompute, merger.rs:29-71 note)
+    val mergedTokens = srcMetas.map(_.tokens).sum
+    val mergedRows = srcMetas.map(_.rows).sum
+    val avgFn = Bm25.averageFieldnorm(mergedTokens, mergedRows)
+    Seq(StatsRow(newSegId, cfg.field, mergedTokens, mergedRows)).toDS()
+      .write.mode("overwrite").parquet(s"$indexDir/stats/batch=$newBatch")
+
+    // startRank(term, seg) = prefix sum of doc_freq over segment order
+    val td = spark.read.parquet(s"$indexDir/termdict")
+      .where($"segId".isin(sources: _*) && $"field" === cfg.field)
+    val w = Window.partitionBy($"term").orderBy($"segId")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val startRanks = td.select($"segId", $"term",
+      coalesce(sum($"docFreq").over(w), lit(0L)).as("startRank"))
+
+    val blockSize = cfg.blockSize
+    val field = cfg.field
+    val exploded = spark.read.parquet(s"$indexDir/postings")
+      .where($"segId".isin(sources: _*) && $"field" === field)
+      .select($"segId", $"term", $"blockId",
+        posexplode(arrays_zip($"docIds", $"tfs", $"normIds", $"positions")).as(Seq("pos", "p")))
+      .join(startRanks, Seq("segId", "term"))
+      .select($"term",
+        ($"startRank" + $"blockId" * blockSize + $"pos").as("rank"),
+        ($"p.docIds" + offsetU($"segId")).cast("int").as("docId"),
+        $"p.tfs".as("tf"), $"p.normIds".as("normId"), $"p.positions".as("positions"))
+
+    // the skew-proof shuffle: key = (term, target block id)
+    val cache = Bm25.computeTfCache(avgFn)
+    val blocks = exploded
+      .withColumn("newBlockId", ($"rank" / blockSize).cast("int"))
+      .as[(String, Long, Int, Int, Int, Array[Int], Int)]
+      .groupByKey(r => (r._1, r._7))
+      .mapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_._2) // by rank; exactly <= blockSize rows
+        val docs = rows.map(_._3); val tfs = rows.map(_._4); val norms = rows.map(_._5)
+        val (mn, mt) =
+          if (rows.length == blockSize) IndexBuilder.blockMaxPair(tfs, norms, cache)
+          else (255, 255)
+        PostingBlock(newSegId, field, key._1, key._2, docs.last,
+          docs, tfs, norms, mn, mt, rows.map(_._6))
+      }
+    blocks.write.mode("overwrite").parquet(s"$indexDir/postings/batch=$newBatch")
+
+    val postingsW = spark.read.parquet(s"$indexDir/postings/batch=$newBatch")
+    postingsW.groupBy($"segId", $"field", $"term")
+      .agg(sum(size($"docIds")).as("docFreq"), count(lit(1)).cast("int").as("numBlocks"))
+      .write.mode("overwrite").parquet(s"$indexDir/termdict/batch=$newBatch")
+
+    val terms = spark.read.parquet(s"$indexDir/termdict/batch=$newBatch").count()
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val mergedMeta = SegmentMeta(newSegId, newBatch, mergedRows, mergedTokens,
+      terms, wallMs, srcMetas.forall(_.sha256ok))
+    val newMeta = Manifest.IndexMeta(meta.configHash,
+      meta.segments.filterNot(s => sources.contains(s.segId)) :+ mergedMeta)
+    Manifest.write(indexDir, newMeta)
+    newMeta
+  }
+
+  /** Apply the merge policy until no candidates remain (driver-side
+    * compaction planner; merges run sequentially like the reference's
+    * between-commit merge scheduling).
+    */
+  def compact(spark: SparkSession, indexDir: String, cfg: IndexConfig,
+              policy: LogMergePolicy = LogMergePolicy()): Manifest.IndexMeta = {
+    var meta = Manifest.read(indexDir)
+    var candidates = policy.computeMergeCandidates(meta.segments)
+    while (candidates.nonEmpty) {
+      val newSegId = meta.segments.map(_.segId).max + 1
+      meta = merge(spark, indexDir, cfg, candidates.head, newSegId)
+      candidates = policy.computeMergeCandidates(meta.segments)
+    }
+    meta
+  }
+}

@@ -19,10 +19,22 @@ final case class Hit(segId: Int, docId: Int, score: Float)
 class Searcher(val spark: SparkSession, val indexDir: String, val field: String = "content") {
   import spark.implicits._
 
-  lazy val postings: DataFrame = spark.read.parquet(s"$indexDir/postings").cache()
-  lazy val docmap: DataFrame = spark.read.parquet(s"$indexDir/docmap").cache()
-  lazy val termdict: DataFrame = spark.read.parquet(s"$indexDir/termdict").cache()
-  lazy val statsDf: DataFrame = spark.read.parquet(s"$indexDir/stats")
+  /** The pinned snapshot: only segments named by the manifest are visible
+    * (merged-away segments' files stay on disk until GC, like the
+    * reference's immutable segments + meta.json, `ARCHITECTURE.md:41-53`).
+    */
+  val liveSegIds: Seq[Int] =
+    if (graft.index.Manifest.exists(indexDir))
+      graft.index.Manifest.read(indexDir).segments.map(_.segId)
+    else Seq.empty
+
+  private def pin(df: DataFrame): DataFrame =
+    if (liveSegIds.nonEmpty) df.where($"segId".isin(liveSegIds: _*)) else df
+
+  lazy val postings: DataFrame = pin(spark.read.parquet(s"$indexDir/postings")).cache()
+  lazy val docmap: DataFrame = pin(spark.read.parquet(s"$indexDir/docmap")).cache()
+  lazy val termdict: DataFrame = pin(spark.read.parquet(s"$indexDir/termdict")).cache()
+  lazy val statsDf: DataFrame = pin(spark.read.parquet(s"$indexDir/stats"))
 
   /** Index-global statistics (`bm25.rs:25-48`): totals summed over segments. */
   lazy val (totalNumTokens: Long, totalNumDocs: Long) = {

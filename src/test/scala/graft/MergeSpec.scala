@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.bench.CorpusGen
+import graft.index._
+import graft.query._
+
+/** Merge correctness: merging all segments must leave every query's results
+  * identical (global BM25 stats are unchanged; docId remap is order-
+  * preserving stacking), mirroring the reference merger proptests
+  * (`merger.rs:1261-1276`).
+  */
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  val nDocs = 300
+  lazy val indexDir = java.nio.file.Files.createTempDirectory("graft-merge").toString
+  lazy val cfg = IndexConfig(numSegments = 4, blockSize = 16, buildBatches = 1)
+  lazy val corpus = CorpusGen.corpus(spark, nDocs, seed = 7L, avgLines = 8)
+
+  lazy val preMeta = IndexBuilder.build(spark, corpus.toDF(), indexDir, cfg)
+  lazy val pre = { preMeta; new Searcher(spark, indexDir) }
+
+  // capture pre-merge results and the address mapping BEFORE merging
+  lazy val offsets: Map[Int, Long] = {
+    var acc = 0L
+    preMeta.segments.sortBy(_.segId).map { s =>
+      val o = s.segId -> acc; acc += s.rows; o
+    }.toMap
+  }
+  lazy val hotTerm: String = {
+    import spark.implicits._
+    pre.termdict.groupBy($"term").sum("docFreq")
+      .orderBy(org.apache.spark.sql.functions.desc("sum(docFreq)"))
+      .select($"term").as[String].head()
+  }
+  lazy val preTop: Map[String, Seq[Hit]] = {
+    val qs = Map(
+      "term" -> TermQ(hotTerm),
+      "disj" -> BoolQ(Seq(Occur.Should -> TermQ(hotTerm), Occur.Should -> TermQ("parser"))))
+    qs.map { case (n, q) => n -> pre.topDocs(q, 10).toSeq }
+  }
+  lazy val preWand: Seq[Hit] = pre.topDocsWand(Seq(hotTerm), 10).toSeq
+
+  lazy val postMeta: Manifest.IndexMeta = {
+    preTop; preWand // force pre-merge capture
+    Merger.merge(spark, indexDir, cfg, preMeta.segments.map(_.segId), newSegId = 100)
+  }
+  lazy val post = { postMeta; new Searcher(spark, indexDir) }
+
+  def remap(h: Hit): (Int, Int) = (100, (offsets(h.segId) + h.docId).toInt)
+
+  test("merge: one segment remains, totals preserved") {
+    assert(postMeta.segments.map(_.segId) == Seq(100))
+    assert(postMeta.totalRows == nDocs)
+    assert(postMeta.totalTokens == preMeta.totalTokens)
+    assert(post.totalNumDocs == nDocs)
+    assert(post.totalNumTokens == pre.totalNumTokens)
+  }
+
+  test("merge: exact query results identical under docId stacking remap") {
+    for ((name, hits) <- preTop) {
+      val q = if (name == "term") TermQ(hotTerm)
+        else BoolQ(Seq(Occur.Should -> TermQ(hotTerm), Occur.Should -> TermQ("parser")))
+      val merged = post.topDocs(q, 10).toSeq
+      assert(merged.map(h => (h.segId, h.docId)) == hits.map(remap), s"$name ranks")
+      merged.zip(hits).foreach { case (m, p) =>
+        assert(m.score == p.score, s"$name f32 score drift after merge") }
+    }
+  }
+
+  test("merge: WAND results identical") {
+    val merged = post.topDocsWand(Seq(hotTerm), 10).toSeq
+    assert(merged.map(h => (h.segId, h.docId)) == preWand.map(remap))
+    merged.zip(preWand).foreach { case (m, p) => assert(m.score == p.score) }
+  }
+
+  test("merge: re-blocked posting lists are dense 128-aligned (blockSize) runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bad = post.postings
+      .groupBy($"term").agg(
+        sum(size($"docIds")).as("df"),
+        count(lit(1)).as("nblocks"),
+        max(size($"docIds")).as("maxlen"))
+      .where(!($"nblocks" === ceil($"df" / cfg.blockSize.toDouble)) || $"maxlen" > cfg.blockSize)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("log merge policy: levels and min_num_segments (log_merge_policy.rs:94-130)") {
+    val policy = Merger.LogMergePolicy(minNumSegments = 3, minLayerSize = 10)
+    def seg(id: Int, rows: Long) = SegmentMeta(id, 0, rows, 0, 0, 0, sha256ok = true)
+    // three similar-size small segments -> one candidate level
+    val c1 = policy.computeMergeCandidates(Seq(seg(1, 20), seg(2, 25), seg(3, 22)))
+    assert(c1 == Seq(Seq(1, 2, 3)) || c1 == Seq(Seq(2, 3, 1)) || c1.flatten.toSet == Set(1, 2, 3))
+    // a big segment on its own level does not join the small ones
+    val c2 = policy.computeMergeCandidates(Seq(seg(1, 100000), seg(2, 25), seg(3, 22), seg(4, 30)))
+    assert(c2.flatten.toSet == Set(2, 3, 4))
+    // below min_num_segments -> no candidates
+    assert(policy.computeMergeCandidates(Seq(seg(1, 20), seg(2, 25))).isEmpty)
+    // over max_docs excluded
+    val p2 = policy.copy(maxDocsBeforeMerge = 50)
+    assert(p2.computeMergeCandidates(Seq(seg(1, 60), seg(2, 60), seg(3, 60))).isEmpty)
+  }
+}
