@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{IndexBuilder, IndexConfig, Manifest}
+import graft.query.{Query, Searcher}
+
+/** Session-scoped engine facade used by SparkEntry/Verify/Bench: builds (or
+  * reuses) the inverted index over a test-data directory's `documents` table
+  * and exposes the query surface over it.
+  *
+  * The index is memoized per (JVM, sfDir): Verify runs ~35 query entries in
+  * one JVM, and all full-text entries share one build.
+  */
+object Engine {
+
+  /** documents.parquet -> the engine's input shape (BASELINE.json
+    * input_hint: repo/path/commit/lang/content). `doc_id` rides in `path`
+    * so results can be mapped back to the oracle's key space.
+    */
+  def documentsAsSource(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("c000000000000000000000000000000000000000").as("commit"),
+        col("lang"),
+        col("text").as("content"))
+
+  private val searchers = new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
+
+  private def indexDirFor(sfDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    new java.io.File(s"target/graft-index/$key").getAbsolutePath
+  }
+
+  /** Build-if-absent and pin a Searcher over the sfDir's documents. */
+  def searcher(spark: SparkSession, sfDir: String): Searcher =
+    searchers.computeIfAbsent(sfDir, { _ =>
+      val dir = indexDirFor(sfDir)
+      if (!Manifest.exists(dir)) {
+        IndexBuilder.build(spark, documentsAsSource(spark, sfDir), dir,
+          IndexConfig(numSegments = 4))
+      }
+      new Searcher(spark, dir)
+    })
+
+  /** Matching doc_ids of a compiled query, ascending — the unscored
+    * (const-score) result shape shared by set/range/regex/fuzzy/phrase
+    * queries. Output column: doc_id BIGINT.
+    */
+  def docIds(sr: Searcher, q: Query): DataFrame = {
+    val spark = sr.spark
+    import spark.implicits._
+    sr.compile(q)
+      .join(sr.docmap.select($"segId", $"docId", $"path"), Seq("segId", "docId"))
+      .select($"path".cast("long").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ F64 scoring
+
+  /** Shared Spark-SQL / DuckDB-SQL BM25 fragment, double-typed end to end
+    * (`e0` exponent literals parse as DOUBLE in both dialects; plain decimal
+    * literals would parse as DECIMAL and change the arithmetic).
+    *
+    * The engine's tantivy-parity path is f32 (`graft.score.Bm25`, verified
+    * in the test suite); this f64 twin exists because the external oracle
+    * (DuckDB) can only do double math. Same formula, same operation order:
+    *   idf = ln(1 + (N - df + 0.5)/(df + 0.5)); weight = idf * (1 + k1)
+    *   score = weight * tf / (tf + k1*(1 - b + b*dl/avgdl))
+    */
+  def bm25F64(nDocsSql: String, avgdlSql: String,
+              dfCol: String = "df", tfCol: String = "tf", dlCol: String = "dl"): String =
+    s"ln(1e0 + ($nDocsSql - $dfCol + 0.5e0) / ($dfCol + 0.5e0)) * 2.2e0 * " +
+    s"($tfCol / ($tfCol + 1.2e0 * (0.25e0 + 0.75e0 * $dlCol / ($avgdlSql))))"
+
+  /** Per-(doc, term) BM25 components read from the INDEX tables (not the raw
+    * text): tf from the posting blocks, dl (exact token count) from docmap,
+    * df/N/avgdl from the term dictionary and stats — so an oracle match
+    * certifies the index content end to end.
+    *
+    * Output: (doc_id BIGINT, term STRING, sc DOUBLE). The df map is tiny
+    * (one row per query term) and is broadcast.
+    */
+  def termScoresF64(sr: Searcher, terms: Seq[String]): DataFrame = {
+    val spark = sr.spark
+    import spark.implicits._
+    val distinctTerms = terms.distinct
+    val dfs = sr.docFreqs(distinctTerms).toSeq.toDF("term", "df")
+    val nDocs = sr.totalNumDocs
+    val avgdlSql = s"CAST(${sr.totalNumTokens} AS DOUBLE) / $nDocs"
+    sr.postings
+      .where($"field" === sr.field && $"term".isin(distinctTerms: _*))
+      .select($"segId", $"term", explode(arrays_zip($"docIds", $"tfs")).as("p"))
+      .select($"segId", $"term", $"p.docIds".as("docId"), $"p.tfs".cast("long").as("tf"))
+      .join(sr.docmap.select($"segId", $"docId", $"path", $"tokenCount".as("dl")),
+        Seq("segId", "docId"))
+      .join(broadcast(dfs), Seq("term"))
+      .select($"path".cast("long").as("doc_id"), $"term",
+        expr(bm25F64(nDocs.toString, avgdlSql)).as("sc"))
+  }
+
+  /** Matching docs joined back to their docmap row (lang, contentLen, ...) —
+    * the "fast field" access path used by facet/histogram/sort-by-field
+    * collectors. Output keeps doc_id BIGINT plus the docmap columns.
+    */
+  def docIdsWithDocmap(sr: Searcher, q: Query): DataFrame = {
+    val spark = sr.spark
+    import spark.implicits._
+    sr.compile(q)
+      .join(sr.docmap, Seq("segId", "docId"))
+      .withColumn("doc_id", $"path".cast("long"))
+  }
+
+  /** Disjunctive (pure-Should) BM25 top-k in f64: score = sum of matching
+    * term scores; deterministic total order (rounded score desc, doc_id).
+    */
+  def topKShouldF64(sr: Searcher, terms: Seq[String], k: Int): DataFrame =
+    termScoresF64(sr, terms)
+      .groupBy("doc_id").agg(round(sum("sc"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+
+  /** Conjunctive (all-Must) BM25 top-k in f64: docs containing every term. */
+  def topKMustF64(sr: Searcher, terms: Seq[String], k: Int): DataFrame = {
+    val n = terms.distinct.length
+    termScoresF64(sr, terms)
+      .groupBy("doc_id")
+      .agg(round(sum("sc"), 6).as("score"), count(lit(1)).as("nt"))
+      .where(col("nt") === n).drop("nt")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** DisjunctionMax in f64: max + tieBreaker * (sum - max). */
+  def topKDisMaxF64(sr: Searcher, terms: Seq[String], tie: String, k: Int): DataFrame =
+    termScoresF64(sr, terms)
+      .groupBy("doc_id")
+      .agg(round(expr(s"max(sc) + $tie * (sum(sc) - max(sc))"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+
+  /** Boosted disjunction in f64: per-term multiplicative boost (the
+    * weight-level boost of `bm25.rs:80-87`), boosts given as e0 SQL
+    * literals for dialect-stable double typing.
+    */
+  def topKBoostedF64(sr: Searcher, boosts: Seq[(String, String)], k: Int): DataFrame = {
+    val spark = sr.spark
+    val boostCase = boosts.map { case (t, b) => s"WHEN '$t' THEN $b" }
+      .mkString("CASE term ", " ", " ELSE 1e0 END")
+    termScoresF64(sr, boosts.map(_._1))
+      .withColumn("sc", col("sc") * expr(boostCase))
+      .groupBy("doc_id").agg(round(sum("sc"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+}

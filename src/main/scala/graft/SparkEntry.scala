@@ -1,13 +1,558 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.query._
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data pipeline operators), with a DuckDB
+  * oracle for every SQL-expressible one.
+  *
+  * Oracle-parity rules used throughout (see Engine.bm25F64):
+  *  - fractional outputs are rounded to 6 decimals on BOTH sides, and
+  *    orderings use the ROUNDED value + a unique tie-break key, so LIMIT is
+  *    a deterministic cut in both engines;
+  *  - doubles are forced with `e0` literals / CAST AS DOUBLE (plain decimal
+  *    literals parse as DECIMAL in both dialects and change the math);
+  *  - integer aggregates are kept exact (cents-scaling for money, integer
+  *    sum-of-squares for variance) and CAST to BIGINT (DuckDB sums widen to
+  *    HUGEINT otherwise);
+  *  - all hash/fingerprint arithmetic is 64-bit integer math mod 2^31-1,
+  *    replayed verbatim in SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val P = TextOps.P // 2147483647
+
+  // ------------------------------------------------------------ SQL fragments
+
+  /** Tokenized view of `documents` (single-space corpus: split == analyzer). */
+  private val tokCte =
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)"
+
+  /** Tokens with 1-based positions. */
+  private val posCte =
+    "pos AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i, " +
+    "unnest(string_split(text, ' ')) AS t FROM documents)"
+
+  /** Polynomial char hash mod P of a SQL string expression (DuckDB syntax;
+    * mirror of TextOps.charHash).
+    */
+  private def sqlCharHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+    s"(a, b) -> (a * 31 + b) % $P)"
+
+  /** BM25-in-double CTE chain over `documents` for a term list; yields
+    * sc(doc_id, t, sc). Same formula text as Engine.bm25F64.
+    */
+  private def bmCtes(terms: Seq[String]): String = {
+    val in = terms.distinct.map(t => s"'$t'").mkString(", ")
+    s"""$tokCte,
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok WHERE t IN ($in) GROUP BY doc_id, t),
+       |dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok WHERE t IN ($in) GROUP BY t),
+       |sc AS (SELECT doc_id, t, ${Engine.bm25F64("nd", "CAST(tt AS DOUBLE) / nd")} AS sc
+       |       FROM tf JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN st)""".stripMargin
+  }
+
+  private def inList(ts: Seq[String]): String = ts.map(t => s"'$t'").mkString(", ")
+
+  // ------------------------------------------------------------ entry point
+
+  /** Flagship: BM25 top-10 disjunction over the sf0.001 documents corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    val sr = Engine.searcher(spark, "/root/testdata/sf0.001")
+    Engine.topKShouldF64(sr, Seq("spark", "merge"), 10)
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- full-text: scored (BM25 f64 over the index tables) ----
+    "ft_term_topk" -> ((s, dir) =>
+      Engine.topKShouldF64(Engine.searcher(s, dir), Seq("spark"), 20)),
+    "ft_bool_should_topk" -> ((s, dir) =>
+      Engine.topKShouldF64(Engine.searcher(s, dir), Seq("spark", "merge"), 20)),
+    "ft_bool_must_topk" -> ((s, dir) =>
+      Engine.topKMustF64(Engine.searcher(s, dir), Seq("spark", "merge", "sort"), 20)),
+    "ft_dismax_topk" -> ((s, dir) =>
+      Engine.topKDisMaxF64(Engine.searcher(s, dir), Seq("spark", "merge"), "0.3e0", 20)),
+    "ft_boost_topk" -> ((s, dir) =>
+      Engine.topKBoostedF64(Engine.searcher(s, dir),
+        Seq("spark" -> "2e0", "merge" -> "1e0"), 20)),
+
+    // ---- full-text: doc-set queries (const-score semantics) ----
+    "ft_term_docs" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), TermQ("vector"))),
+    "ft_bool_must" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
+        Occur.Must -> TermQ("spark"), Occur.Must -> TermQ("merge"))))),
+    "ft_bool_mustnot" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
+        Occur.Must -> TermQ("spark"), Occur.MustNot -> TermQ("join"))))),
+    "ft_min_should" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
+        Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("window"),
+        Occur.Should -> TermQ("hash")), minShouldMatch = 2))),
+    "ft_phrase" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), PhraseQ.of("batch", "batch"))),
+    "ft_phrase_slop" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        PhraseQ(Seq(0 -> "spark", 1 -> "window"), slop = 1))),
+    "ft_phrase_prefix" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        PhrasePrefixQ(Seq(0 -> "order"), prefix = 1 -> "s"))),
+    "ft_term_set" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), TermSetQ(Set("dup", "vector")))),
+    "ft_range" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        RangeQ("contentLen", Some((100.0, true)), Some((200.0, true))))),
+    "ft_exists" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), ExistsQ("lang"))),
+    "ft_fuzzy" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), FuzzyQ("quer", distance = 1))),
+    "ft_regex" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), RegexQ("^s[a-z]*k$"))),
+
+    // ---- collectors ----
+    "ft_count" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
+        Occur.Should -> TermQ("spark"), Occur.Should -> TermQ("merge"))))
+        .agg(count(lit(1)).as("cnt"))),
+    "ft_all_count" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), AllQ).agg(count(lit(1)).as("cnt"))),
+    "ft_facet" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      Engine.docIdsWithDocmap(sr, TermQ("spark"))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    },
+    "ft_histogram" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      Engine.docIdsWithDocmap(sr, TermQ("join"))
+        .groupBy((floor(col("contentLen") / 50) * 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    },
+    "ft_top_by_field" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      Engine.docIdsWithDocmap(sr, TermQ("join"))
+        .select(col("doc_id"), col("contentLen").cast("long").as("n_chars"))
+        .orderBy(desc("n_chars"), asc("doc_id"))
+        .limit(15)
+    },
+    // WAND path (f32 tantivy-parity scores; parity vs the exact path is
+    // enforced in the ScalaTest suite — f32 is not DuckDB-expressible, so
+    // this entry gets the driver's rows-only check)
+    "ft_wand_topk" -> { (s, dir) =>
+      import s.implicits._
+      val sr = Engine.searcher(s, dir)
+      sr.topDocsWand(Seq("spark", "merge", "order"), 10).toSeq
+        .toDF("segId", "docId", "score")
+    },
+
+    // ---- aggregations (ES-style agg tree -> Spark built-ins) ----
+    "agg_metric_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
+        .withColumn("avg_price",
+          round(col("sum_price_cents").cast("double") / 100 / col("cnt"), 6))
+        .orderBy("l_returnflag")),
+    "agg_extended_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("s1"),
+          sum(expr("CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)")).as("s2"))
+        .withColumn("var_pop",
+          round((col("s2") - col("s1").cast("double") * col("s1") / col("n")) / col("n"), 6))
+        .withColumn("std_pop",
+          round(sqrt((col("s2") - col("s1").cast("double") * col("s1") / col("n")) / col("n")), 6))
+        .orderBy("l_linestatus")),
+    "agg_percentiles" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25e0)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5e0)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75e0)"), 6).as("p75"),
+          round(expr("percentile(l_quantity, 0.95e0)"), 6).as("p95"))
+        .orderBy("l_returnflag")),
+    "agg_terms_top" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("event_type"))
+        .limit(3)),
+    "agg_range_buckets" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(expr(
+          "CASE WHEN value < 25e0 THEN 'lo' WHEN value < 50e0 THEN 'mid' " +
+          "WHEN value < 75e0 THEN 'hi' ELSE 'top' END").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+    "agg_date_histogram" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("day")),
+    "agg_filter_bucket" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("high_cnt"))
+        .orderBy("event_type")),
+    "agg_cardinality" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("uniq"))
+        .orderBy("event_type")),
+    "agg_top_hits" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "doc_id")
+    },
+
+    // ---- deduplication ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("keep_id")),
+    "dedup_bag" -> ((s, dir) =>
+      Dedup.bagGroups(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("keep_id")),
+    "dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id", "perm")),
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 0.9)
+        .orderBy("a", "b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3, 0.5)
+        .orderBy("a", "b")),
+    "dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.45)
+        .orderBy("a", "b")),
+
+    // ---- similarity search ----
+    "ann_cosine_topk" -> { (s, dir) =>
+      val df = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(df, "vec_id", "embedding", queryVec(s, dir), 20)
+    },
+    // approximate path: recall < 1 by construction => rows-only check
+    "ann_lsh_topk" -> { (s, dir) =>
+      val df = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshTopK(df, "vec_id", "embedding", queryVec(s, dir), 20)
+    },
+
+    // ---- text analysis ----
+    "text_langid" -> ((s, dir) =>
+      TextOps.langId(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextOps.quality(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "text_tokcount" -> ((s, dir) =>
+      TextOps.tokenCounts(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "text_winnow" -> ((s, dir) =>
+      TextOps.winnow(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id", "fp")),
+
+    // ---- multimodal plumbing (stubbed decode; see Multimodal) ----
+    "mm_blob_meta" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Multimodal.decodeAll(Multimodal.asBlobs(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+        .toDF().orderBy("doc_id")
+    },
+    "mm_frames" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(Multimodal.decodeAll(Multimodal.asBlobs(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")), 7)
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+
+  /** Embedding of vec_id 0 as the ANN query vector (exact float->double). */
+  private def queryVec(s: SparkSession, dir: String): Array[Double] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === 0).select(col("embedding"))
+      .as[Array[Float]].head().map(_.toDouble)
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "ft_term_topk" ->
+      s"""WITH ${bmCtes(Seq("spark"))}
+         |SELECT doc_id, round(sum(sc), 6) AS score FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "ft_bool_should_topk" ->
+      s"""WITH ${bmCtes(Seq("spark", "merge"))}
+         |SELECT doc_id, round(sum(sc), 6) AS score FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "ft_bool_must_topk" ->
+      s"""WITH ${bmCtes(Seq("spark", "merge", "sort"))}
+         |SELECT doc_id, round(sum(sc), 6) AS score FROM sc GROUP BY doc_id
+         |HAVING count(*) = 3 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "ft_dismax_topk" ->
+      s"""WITH ${bmCtes(Seq("spark", "merge"))}
+         |SELECT doc_id, round(max(sc) + 0.3e0 * (sum(sc) - max(sc)), 6) AS score
+         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "ft_boost_topk" ->
+      s"""WITH ${bmCtes(Seq("spark", "merge"))}
+         |SELECT doc_id, round(sum(sc * CASE t WHEN 'spark' THEN 2e0 ELSE 1e0 END), 6) AS score
+         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "ft_term_docs" ->
+      s"WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t = 'vector' ORDER BY doc_id",
+    "ft_bool_must" ->
+      s"""WITH $tokCte SELECT doc_id FROM tok WHERE t IN ('spark', 'merge')
+         |GROUP BY doc_id HAVING count(DISTINCT t) = 2 ORDER BY doc_id""".stripMargin,
+    "ft_bool_mustnot" ->
+      s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t = 'spark'
+         |AND doc_id NOT IN (SELECT doc_id FROM tok WHERE t = 'join') ORDER BY doc_id""".stripMargin,
+    "ft_min_should" ->
+      s"""WITH $tokCte SELECT doc_id FROM tok WHERE t IN ('vector', 'window', 'hash')
+         |GROUP BY doc_id HAVING count(DISTINCT t) >= 2 ORDER BY doc_id""".stripMargin,
+    "ft_phrase" ->
+      s"""WITH $posCte SELECT DISTINCT a.doc_id AS doc_id FROM pos a
+         |JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |WHERE a.t = 'batch' AND b.t = 'batch' ORDER BY doc_id""".stripMargin,
+    "ft_phrase_slop" ->
+      s"""WITH $posCte SELECT DISTINCT a.doc_id AS doc_id FROM pos a
+         |JOIN pos b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i + 1 AND a.i + 2
+         |WHERE a.t = 'spark' AND b.t = 'window' ORDER BY doc_id""".stripMargin,
+    "ft_phrase_prefix" ->
+      s"""WITH $posCte SELECT DISTINCT a.doc_id AS doc_id FROM pos a
+         |JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |WHERE a.t = 'order' AND b.t LIKE 's%' ORDER BY doc_id""".stripMargin,
+    "ft_term_set" ->
+      s"WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t IN ('dup', 'vector') ORDER BY doc_id",
+    "ft_range" ->
+      "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id",
+    "ft_exists" ->
+      "SELECT doc_id FROM documents WHERE lang IS NOT NULL ORDER BY doc_id",
+    "ft_fuzzy" ->
+      s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t IN
+         |(SELECT t FROM (SELECT DISTINCT t FROM tok) WHERE levenshtein(t, 'quer') <= 1)
+         |ORDER BY doc_id""".stripMargin,
+    "ft_regex" ->
+      s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t IN
+         |(SELECT t FROM (SELECT DISTINCT t FROM tok) WHERE regexp_matches(t, '^s[a-z]*k$$'))
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_count" ->
+      s"WITH $tokCte SELECT count(DISTINCT doc_id) AS cnt FROM tok WHERE t IN ('spark', 'merge')",
+    "ft_all_count" -> "SELECT count(*) AS cnt FROM documents",
+    "ft_facet" ->
+      s"""WITH $tokCte SELECT d.lang AS lang, count(*) AS cnt FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE t = 'spark')
+         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    "ft_histogram" ->
+      s"""WITH $tokCte SELECT CAST(floor(n_chars / 50) AS BIGINT) * 50 AS bucket,
+         |count(*) AS cnt FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM tok WHERE t = 'join')
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "ft_top_by_field" ->
+      s"""WITH $tokCte SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM tok WHERE t = 'join')
+         |ORDER BY n_chars DESC, doc_id LIMIT 15""".stripMargin,
+
+    "agg_metric_stats" ->
+      """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty,
+        |min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) / count(*), 6) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_extended_stats" ->
+      """WITH b AS (SELECT l_linestatus, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+        |FROM lineitem GROUP BY l_linestatus)
+        |SELECT l_linestatus, n, s1, s2,
+        |round((s2 - CAST(s1 AS DOUBLE) * s1 / n) / n, 6) AS var_pop,
+        |round(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / n), 6) AS std_pop
+        |FROM b ORDER BY l_linestatus""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.25e0), 6) AS p25,
+        |round(quantile_cont(l_quantity, 0.5e0), 6) AS p50,
+        |round(quantile_cont(l_quantity, 0.75e0), 6) AS p75,
+        |round(quantile_cont(l_quantity, 0.95e0), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_terms_top" ->
+      """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+        |ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
+    "agg_range_buckets" ->
+      """SELECT CASE WHEN value < 25e0 THEN 'lo' WHEN value < 50e0 THEN 'mid'
+        |WHEN value < 75e0 THEN 'hi' ELSE 'top' END AS bucket, count(*) AS cnt
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "agg_date_histogram" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt FROM events
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "agg_filter_bucket" ->
+      """SELECT event_type, count(*) AS cnt,
+        |CAST(sum(CASE WHEN value > 50e0 THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_cardinality" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uniq FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_top_hits" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |SELECT lang, doc_id, n_chars,
+        |row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+        |FROM documents) WHERE rk <= 2 ORDER BY lang, doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS cnt FROM documents
+        |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_bag" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS cnt FROM documents
+        |GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+        |ORDER BY keep_id""".stripMargin,
+    "dedup_minhash_sig" -> (minhashSigSql +
+      " SELECT doc_id, i AS perm, minh FROM sig ORDER BY doc_id, perm"),
+    "dedup_minhash_pairs" ->
+      s"""$minhashSigSql,
+         |band AS (SELECT doc_id, i // ${Dedup.BandRows} AS band,
+         |  string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, i // ${Dedup.BandRows}),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM band l
+         |  JOIN band r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+         |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+         |  JOIN toks ta ON ta.doc_id = c.a JOIN toks tb ON tb.doc_id = c.b AND ta.t = tb.t
+         |  GROUP BY c.a, c.b)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |  FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+         |WHERE jaccard >= 0.9e0 ORDER BY a, b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tf AS (SELECT doc_id, t, count(*) AS tf FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY doc_id, t),
+         |th AS (SELECT doc_id, tf, ${sqlCharHash("t")} AS h FROM tf),
+         |pl AS (SELECT j, ((2 * j + 1) * 2654435761) % $P AS aj, (j * 97531 + 12345) % $P AS bj
+         |  FROM range(${Dedup.SimBits}) t(j)),
+         |bits AS (SELECT doc_id, j, sum(tf * (((h * aj + bj) % $P % 2) * 2 - 1)) AS s
+         |  FROM th CROSS JOIN pl GROUP BY doc_id, j)
+         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $posCte,
+         |sh AS (SELECT DISTINCT a.doc_id, ${sqlCharHash("a.t || ' ' || b.t || ' ' || c.t")} AS s
+         |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i FROM sh l
+         |  JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id GROUP BY l.doc_id, r.doc_id)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |  FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+         |WHERE jaccard >= 0.5e0 ORDER BY a, b""".stripMargin,
+    "dedup_embed" ->
+      s"""WITH $embCte
+         |, d AS (SELECT l.vec_id AS a, r.vec_id AS b, sum(l.x * r.x) AS dot FROM v l
+         |  JOIN v r ON l.i = r.i AND l.vec_id < r.vec_id GROUP BY l.vec_id, r.vec_id)
+         |SELECT a, b, cosine FROM (
+         |  SELECT a, b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+         |  FROM d JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b)
+         |WHERE cosine >= 0.45e0 ORDER BY a, b""".stripMargin,
+
+    "ann_cosine_topk" ->
+      s"""WITH $embCte
+         |, q AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
+         |qn AS (SELECT sqrt(sum(qx * qx)) AS qn FROM q),
+         |d AS (SELECT v.vec_id, sum(x * qx) AS dot FROM v JOIN q USING (i) GROUP BY v.vec_id)
+         |SELECT vec_id, round(dot / (nrm * qn), 6) AS cosine
+         |FROM d JOIN n USING (vec_id) CROSS JOIN qn
+         |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $tokCte,
+         |c AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN t IN (${inList(TextOps.profiles(0)._2)}) THEN 1 ELSE 0 END) AS BIGINT) AS c_code,
+         |  CAST(sum(CASE WHEN t IN (${inList(TextOps.profiles(1)._2)}) THEN 1 ELSE 0 END) AS BIGINT) AS c_db,
+         |  CAST(sum(CASE WHEN t IN (${inList(TextOps.profiles(2)._2)}) THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+         |  CAST(sum(CASE WHEN t IN (${inList(TextOps.profiles(3)._2)}) THEN 1 ELSE 0 END) AS BIGINT) AS c_stream
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, c_code, c_db, c_en, c_stream,
+         |CASE WHEN c_code >= c_db AND c_code >= c_en AND c_code >= c_stream THEN 'code'
+         |WHEN c_db >= c_en AND c_db >= c_stream THEN 'db'
+         |WHEN c_en >= c_stream THEN 'en' ELSE 'stream' END AS pred_lang
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(TextOps.stopWords)}))) AS BIGINT) AS n_stop,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_chars, n_stop, n_distinct,
+         |round((n_chars - (n_tokens - 1)) * CAST(1 AS DOUBLE) / n_tokens, 6) AS mean_wlen,
+         |round(n_stop * CAST(1 AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         |round(n_distinct * CAST(1 AS DOUBLE) / n_tokens, 6) AS ttr,
+         |round(n_distinct * 0.5e0 / n_tokens + (1e0 - n_stop * CAST(1 AS DOUBLE) / n_tokens) * 0.3e0
+         |  + least(n_tokens, 100) * 0.2e0 / 100, 6) AS quality
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "text_tokcount" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"SELECT doc_id, ${sqlCharHash("text")} AS fp FROM documents ORDER BY doc_id",
+    "text_winnow" ->
+      s"""WITH g AS (SELECT doc_id, i, ${sqlCharHash("substr(text, CAST(i AS INTEGER), 8)")} AS h
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+         |        FROM documents WHERE length(text) >= 8)),
+         |w AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g)
+         |SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp""".stripMargin,
+
+    "mm_blob_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+        |CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |CAST(length(text) % 640 + 16 AS BIGINT) AS width,
+        |CAST((ascii(substr(text, 1, 1)) * 7) % 480 + 16 AS BIGINT) AS height,
+        |CAST(length(text) % 40 + 5 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, unnest(range(0, length(text) % 40 + 5, 7)) AS frame_idx
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+  )
+
+  /** Shared CTE text: per-component embedding view + norms. */
+  private def embCte: String =
+    """v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id)""".stripMargin
+
+  /** Shared CTE text: MinHash signatures (mirror of Dedup.minhashSignatures). */
+  private def minhashSigSql: String =
+    s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |th AS (SELECT doc_id, ${sqlCharHash("t")} AS h FROM toks),
+       |perm AS (SELECT i, ((i + 1) * 1103515245) % $P AS a, (i * 12345 + 6789) % $P AS b
+       |  FROM range(${Dedup.NumPerms}) t(i)),
+       |sig AS (SELECT doc_id, i, min((a * h + b) % $P) AS minh
+       |  FROM th CROSS JOIN perm GROUP BY doc_id, i)""".stripMargin
 }

@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, bag-of-words
+  * exact, MinHash + LSH near-dup, SimHash fingerprints, and n-gram Jaccard.
+  *
+  * Scale design (the 100 TB contract):
+  *  - Exact dedup is one hash-groupBy — Spark's sort-based shuffle with
+  *    map-side partial aggregation; the group key is a 128-bit digest, so
+  *    the shuffle carries ~48 bytes/doc, not the documents.
+  *  - MinHash signatures are computed map-side (one pass per doc, no
+  *    shuffle); the LSH banding join shuffles only (band, 4 x 8-byte sig)
+  *    keys. Candidate verification joins token sets ONLY for candidate
+  *    pairs (semi-join on the candidate list), never all pairs.
+  *  - SimHash is map-side only; pairing via banding of the fingerprint.
+  *  - All hash math is integer arithmetic mod P (see TextOps.charHash) so
+  *    the DuckDB oracle replays it exactly.
+  */
+object Dedup {
+
+  import TextOps.{P, charHash, tokens}
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact-duplicate groups by content digest. Returns one row per distinct
+    * content: (keep_id = min doc id, cnt). Downstream `cnt > 1` filters to
+    * actual dup groups; keeping all groups makes the operator double as the
+    * canonical-id assignment step of a dedup pipeline.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).cast("long").as("keep_id"), count(lit(1)).as("cnt"))
+      .select("keep_id", "cnt")
+
+  /** Bag-of-words exact dedup: key = sorted distinct token set. Catches
+    * reordered/repeated-word duplicates that byte-exact dedup misses.
+    */
+  def bagGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(array_join(array_sort(array_distinct(tokens(col(textCol)))), " ").as("bag"))
+      .agg(min(col(idCol)).cast("long").as("keep_id"), count(lit(1)).as("cnt"))
+      .select("keep_id", "cnt")
+
+  // ---------------------------------------------------------------- MinHash
+
+  val NumPerms = 16
+  val BandRows = 4 // 4 bands x 4 rows
+
+  /** Permutation i: h_i(x) = (a_i * x + b_i) mod P over the token char-hash.
+    * a_i odd-ish and < P, so products stay < 2^62.
+    */
+  def permA(i: Int): Long = ((i + 1) * 1103515245L) % P
+  def permB(i: Int): Long = (i * 12345L + 6789L) % P
+
+  /** MinHash signature, long format: (doc_id, perm, minh) — min over the
+    * DISTINCT token set of h_perm(charHash(token)). Map-side only: the
+    * per-doc signature is a single `transform` over a 16-element literal
+    * array; no shuffle, no driver state.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = signatureArray(col(textCol))
+    df.select(col(idCol).cast("long").as("doc_id"), posexplode(sig).as(Seq("perm", "minh")))
+      .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minh"))
+  }
+
+  /** array<long> of NumPerms minhash values for one text column. */
+  def signatureArray(text: Column): Column = {
+    val tokHashes = transform(array_distinct(tokens(text)), t => charHash(t))
+    val perms = array((0 until NumPerms).map(lit): _*)
+    transform(perms, i =>
+      aggregate(tokHashes, lit(P),
+        (acc, h) => least(acc, (element_at(lit((0 until NumPerms).map(permA).toArray), i + 1) * h
+          + element_at(lit((0 until NumPerms).map(permB).toArray), i + 1)) % P)))
+  }
+
+  /** LSH banding: doc -> (band, bandKey) where bandKey concatenates the
+    * band's BandRows signature values. Docs sharing any band key are
+    * candidate pairs (prob. of sharing a band = 1-(1-j^r)^b, the classic
+    * S-curve: r=4, b=4 centers the cutoff near j ~ 0.7).
+    */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = signatureArray(col(textCol))
+    val nBands = NumPerms / BandRows
+    df.select(col(idCol).cast("long").as("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), posexplode(
+        transform(array((0 until nBands).map(lit): _*), b =>
+          concat_ws(",", slice(col("sig"), b * BandRows + 1, lit(BandRows))))).as(Seq("band", "key")))
+  }
+
+  /** Near-duplicate pairs: LSH candidates (same band key), verified by exact
+    * token-set Jaccard >= `threshold`. Output (a, b, jaccard round 6), a < b.
+    *
+    * The verification join ships token-set SIZES with the candidate pair and
+    * computes |intersection| by joining the exploded token tables semi-joined
+    * to candidates — at scale this touches only candidate docs.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val bands = minhashBands(df, idCol, textCol).alias("l")
+    val r = minhashBands(df, idCol, textCol).alias("r")
+    val cand = bands.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+    verifyJaccard(df, idCol, textCol, cand, threshold)
+  }
+
+  /** Exact token-set Jaccard for a candidate pair list (a, b). */
+  def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
+                    cand: DataFrame, threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("t"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(toks.withColumnRenamed("doc_id", "a").withColumnRenamed("t", "ta"), Seq("a"))
+      .join(toks.withColumnRenamed("doc_id", "b").withColumnRenamed("t", "tb"), Seq("b"))
+      .where(col("ta") === col("tb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), Seq("b"))
+      .withColumn("jaccard",
+        round(col("inter") * 1.0 / (col("na") + col("nb") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  val SimBits = 32
+
+  def simA(j: Int): Long = ((2 * j + 1) * 2654435761L) % P
+  def simB(j: Int): Long = (j * 97531L + 12345L) % P
+
+  /** Charikar SimHash over token term frequencies: for each bit j, sum
+    * tf * (+1 if bit_j(token) else -1) over the doc's tokens; fingerprint
+    * bit j is set iff the sum is positive. bit_j(token) =
+    * ((charHash(token) * A_j + B_j) mod P) mod 2. Map-side only.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // (token, tf) pairs per doc without a shuffle: aggregate over the sorted
+    // token array is possible but opaque; explode + per-doc groupBy keeps it
+    // readable and the shuffle key is (doc, token) — uniformly distributed.
+    val tf = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .withColumn("th", charHash(col("t")))
+    val bits = tf.select(col("doc_id"), col("tf"), col("th"),
+        explode(sequence(lit(0), lit(SimBits - 1))).as("j"))
+      .withColumn("aj", element_at(lit((0 until SimBits).map(simA).toArray), col("j") + 1))
+      .withColumn("bj", element_at(lit((0 until SimBits).map(simB).toArray), col("j") + 1))
+      .withColumn("contrib",
+        col("tf") * (((col("th") * col("aj") + col("bj")) % P % 2) * 2 - 1))
+      .groupBy("doc_id", "j").agg(sum("contrib").as("s"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(j as int))"))
+        .otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), col("simhash").cast("long").as("simhash"))
+  }
+
+  // ---------------------------------------------------------------- n-gram Jaccard
+
+  /** Token n-gram (shingle) arrays: hash each n-token window. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
+      i => charHash(concat_ws(" ", slice(t, i, lit(n))))))
+  }
+
+  /** n-gram Jaccard near-dup pairs >= threshold. Candidates = pairs sharing
+    * at least one shingle (inverted-index join on shingle hash — the
+    * standard blocking trick; no cross join). Output (a, b, jaccard).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.withColumnRenamed("doc_id", "a")
+      .join(sh.withColumnRenamed("doc_id", "b"), Seq("s"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), Seq("b"))
+      .withColumn("jaccard",
+        round(col("inter") * 1.0 / (col("na") + col("nb") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- embedding
+
+  /** Embedding-cosine near-dup pairs >= threshold over an Array[Float]
+    * column. This is the exact (quadratic) variant for bounded inputs —
+    * at scale, block first with `Similarity.lshBuckets` and verify within
+    * buckets (same shape as MinHash -> verify above).
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val l = base.select(col("doc_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val r = base.select(col("doc_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    l.crossJoin(r).where(col("a") < col("b"))
+      .withColumn("cosine", round(
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+          / (col("na") * col("nb")), 6))
+      .where(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k. One codegen'd scan — dot product
+  *    via `zip_with` + `aggregate` (no UDF), `ORDER BY ... LIMIT k` lowered
+  *    by Catalyst to TakeOrderedAndProject (per-partition heaps + driver
+  *    merge, no global sort shuffle). This is the correctness baseline and
+  *    is already optimal for one query over N vectors.
+  *  - `lshBuckets` / `lshTopK`: random-hyperplane LSH (Charikar, STOC 2002).
+  *    Each vector maps to a b-bit signature; the query probes its own bucket
+  *    plus all Hamming-distance-1 buckets. At 100 TB the bucketed table is
+  *    written partitioned by `bucket`, so a probe is a partition-pruned scan
+  *    of ~ (b+1)/2^b of the data instead of a full pass. Hyperplanes are
+  *    deterministic integer-arithmetic pseudo-vectors (no RNG state), so any
+  *    two builds — and the SQL oracle — agree on every bucket.
+  */
+object Similarity {
+
+  import TextOps.P
+
+  def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Exact cosine top-k against one query vector. Output (id, cosine) with
+    * cosine rounded to 6 decimals and ties broken by ascending id — a total
+    * order, so LIMIT is deterministic.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    df.select(col(idCol).cast("long").as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("cosine", round(dot(col("v"), q) / (norm(col("v")) * lit(qn)), 6))
+      .select("vec_id", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------- LSH
+
+  val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplane component j,d in [-1, 1):
+    * integer LCG-style mixing mod P, scaled. Replayable in SQL.
+    */
+  def planeComponent(j: Int, d: Int): Double = {
+    val x = ((j * 131L + d) * 2654435761L + 1013904223L) % P
+    (x.toDouble / P) * 2.0 - 1.0
+  }
+
+  /** b-bit signature: bit j = 1 iff v . plane_j >= 0. */
+  def bucketOf(vec: Column): Column = {
+    (0 until NumPlanes).map { j =>
+      val plane = array((0 until 64).map(d => lit(planeComponent(j, d))): _*)
+      when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Assign every vector to its LSH bucket: (id, bucket, v). At scale this
+    * is the build side, written partitioned by bucket.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+
+  /** ANN top-k: probe the query's bucket and all Hamming-1 neighbors, rank
+    * probed candidates by exact cosine. Recall < 1 by construction (that is
+    * the approximation); candidates scanned ~ (NumPlanes+1)/2^NumPlanes of
+    * the corpus.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Double], k: Int): DataFrame = {
+    val qSig = {
+      var s = 0L
+      for (j <- 0 until NumPlanes) {
+        val d = (0 until query.length)
+          .map(i => query(i) * planeComponent(j, i)).sum
+        if (d >= 0) s |= (1L << j)
+      }
+      s
+    }
+    val probes = qSig +: (0 until NumPlanes).map(j => qSig ^ (1L << j))
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val q = array(query.map(lit): _*)
+    lshBuckets(df, idCol, vecCol)
+      .where(col("bucket").isin(probes: _*))
+      .withColumn("cosine", round(dot(col("v"), q) / (norm(col("v")) * lit(qn)), 6))
+      .select("vec_id", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+}

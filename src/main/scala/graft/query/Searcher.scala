@@ -140,6 +140,19 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         ScoredDoc(key._1, key._2, mx + tie * (sm - mx))
       }
     case p: PhraseQ => compilePhrase(p)
+    case pp: PhrasePrefixQ =>
+      // expand the prefix against the term dictionary in ascending term
+      // order, capped at maxExpansions (`phrase_prefix_query.rs`), then
+      // union the completed phrases; a doc scores its best expansion.
+      val expansions = allTerms
+        .where($"term".startsWith(pp.prefix._2))
+        .orderBy($"term").limit(pp.maxExpansions).as[String].collect()
+      if (expansions.isEmpty) spark.emptyDataset[ScoredDoc]
+      else expansions.toSeq
+        .map(e => compilePhrase(PhraseQ(pp.terms :+ ((pp.prefix._1, e)), 0)))
+        .reduceLeft(_ union _)
+        .groupByKey(s => (s.segId, s.docId))
+        .mapGroups { (k, it) => ScoredDoc(k._1, k._2, it.map(_.score).max) }
     case b: BoolQ => compileBool(b)
   }
 

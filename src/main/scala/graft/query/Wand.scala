@@ -114,9 +114,15 @@ object Wand {
     var maxScore = 0.0f
     var beforePivotLen = 0
     var pivotDoc = TERMINATED
-    while (beforePivotLen < scorers.length && pivotDoc == TERMINATED) {
+    var found = false
+    // NOTE: the chosen pivot scorer may itself be TERMINATED (doc ==
+    // Int.MaxValue) — e.g. after advanceOneScorer exhausted it without
+    // removal. The reference breaks unconditionally and maps a TERMINATED
+    // pivot to None (`block_wand.rs:23-34`); looping on `pivotDoc ==
+    // TERMINATED` instead would spin forever on that scorer.
+    while (beforePivotLen < scorers.length && !found) {
       maxScore += scorers(beforePivotLen).maxScore
-      if (maxScore > threshold) pivotDoc = scorers(beforePivotLen).doc
+      if (maxScore > threshold) { pivotDoc = scorers(beforePivotLen).doc; found = true }
       else beforePivotLen += 1
     }
     if (pivotDoc == TERMINATED) return None
