@@ -1,24 +1,118 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query.Searcher
+
+/** Benchmark main — prints ONE JSON line with:
+  *  - `value` / `queries`: per-query wall seconds for the headline query set
+  *    over the SPARK_GRAFT_SF_DIR documents index (driver-facing numbers);
+  *  - `build_files_per_sec_8` / `_32` + `scaling_efficiency`: the north-rule
+  *    scaling evidence — the SAME deterministic CorpusGen index build run at
+  *    local[8] and local[32] (N vs 4N cores); efficiency = T8 / (4 * T32);
+  *  - `p50_query_ms` / `p95_query_ms`: repeated-run latency of the
+  *    search-benchmark-game-style query set (term / intersection /
+  *    disjunction / phrase top-k) against the warm index.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_BENCH_DOCS
+  * (CorpusGen corpus size, default 120000), SPARK_GRAFT_SCALING=0 to skip
+  * the two-level scaling phase (local iteration).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def log(msg: String): Unit = System.err.println(s"[bench] $msg")
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(rmrf)
+    p.delete(); ()
+  }
+
+  /** Build the CorpusGen index fresh at the given parallelism; files/sec. */
+  private def buildThroughput(cpus: Int, nDocs: Long): Double = {
+    val spark = session(cpus)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$cpus").toString
+      // numSegments is FIXED (32) across parallelism levels: segment
+      // assignment is part of the job definition, and the built index must
+      // be byte-identical at local[8] and local[32] for the scaling
+      // comparison to be same-job-same-input.
+      val corpus = graft.bench.CorpusGen.corpus(spark, nDocs, partitions = cpus * 4)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      IndexBuilder.build(spark, corpus.toDF(), dir,
+        IndexConfig(numSegments = 32, withPositions = false))
+      val secs = (System.nanoTime() - t0) / 1e9
+      rmrf(new java.io.File(dir))
+      log(f"build local[$cpus]: $nDocs docs in $secs%.1f s = ${nDocs / secs}%.0f files/s")
+      nDocs / secs
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toLong
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+
+    // ---- phase A: two-cluster-size scaling evidence (same job, same input)
+    var fps8 = 0.0; var fps32 = 0.0
+    if (doScaling) {
+      // warmup: pay JIT compilation once so neither measured run benefits
+      // from the other's warm code cache (they share this JVM)
+      buildThroughput(8, math.min(nDocs / 8, 20000L))
+      fps8 = buildThroughput(8, nDocs)
+      fps32 = buildThroughput(32, nDocs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val efficiency = if (fps8 > 0) fps32 / (4.0 * fps8) else 0.0
+
+    // ---- phase B: query latency over the sfDir documents index
+    val spark = session(32)
+    val sr = Engine.searcher(spark, sfDir)
+    // warm the cached segment tables once
+    sr.postings.count(); sr.docmap.count(); sr.termdict.count()
+
+    import graft.query._
+    val querySet: Seq[(String, () => Unit)] = Seq(
+      "q_term_wand" -> (() => { sr.topDocsWand(Seq("spark"), 10); () }),
+      "q_disj2_wand" -> (() => { sr.topDocsWand(Seq("spark", "merge"), 10); () }),
+      "q_disj3_wand" -> (() => { sr.topDocsWand(Seq("spark", "merge", "order"), 10); () }),
+      "q_must2" -> (() => { sr.topDocs(BoolQ(Seq(
+        Occur.Must -> TermQ("spark"), Occur.Must -> TermQ("merge"))), 10); () }),
+      "q_phrase" -> (() => { sr.topDocs(PhraseQ.of("batch", "batch"), 10); () }),
+      "q_count" -> (() => { sr.count(TermQ("join")); () })
+    )
+    // timed runs: round-robin repetitions, collect all latencies
+    val reps = 5
+    val perQuery = scala.collection.mutable.Map.empty[String, Double]
+    val all = scala.collection.mutable.ArrayBuffer.empty[Double]
+    querySet.foreach { case (name, fn) =>
+      fn() // warmup (plan compilation, stats collection)
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e6
+      }
+      val sorted = times.sorted
+      perQuery(name) = sorted(sorted.length / 2) / 1000.0 // median, seconds
+      all ++= times
+      log(f"$name: p50 ${sorted(sorted.length / 2)}%.0f ms")
+    }
+    val sortedAll = all.sorted
+    val p50 = if (sortedAll.nonEmpty) sortedAll(sortedAll.length / 2) else 0.0
+    val p95 = if (sortedAll.nonEmpty) sortedAll((sortedAll.length * 95) / 100 min (sortedAll.length - 1)) else 0.0
     spark.stop()
+
+    val total = perQuery.values.sum
+    val qjson = perQuery.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"headline query set (sec) + build scaling","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir","build_files_per_sec_8":$fps8%.1f,"build_files_per_sec_32":$fps32%.1f,"scaling_efficiency":$efficiency%.3f,"p50_query_ms":$p50%.1f,"p95_query_ms":$p95%.1f,"bench_docs":$nDocs}""")
   }
 }

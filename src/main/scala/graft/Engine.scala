@@ -46,6 +46,32 @@ object Engine {
       new Searcher(spark, dir)
     })
 
+  /** Resolve an external doc_id to its (segId, docId) address. */
+  def addressOf(sr: Searcher, docId: Long): (Int, Int) = {
+    val spark = sr.spark
+    import spark.implicits._
+    sr.docmap.where($"path" === docId.toString)
+      .select($"segId", $"docId").as[(Int, Int)].head()
+  }
+
+  /** A second index over the same documents with a delete applied — the
+    * tombstone path end to end: build, delete-by-term, re-pin a Searcher
+    * (readers see deletes only on re-pin, the reference's reload-on-commit).
+    */
+  def searcherWithDelete(spark: SparkSession, sfDir: String, deleteTerm: String): Searcher =
+    searchers.computeIfAbsent(s"$sfDir#del:$deleteTerm", { _ =>
+      val dir = indexDirFor(sfDir) + "-del"
+      if (!Manifest.exists(dir)) {
+        IndexBuilder.build(spark, documentsAsSource(spark, sfDir), dir,
+          IndexConfig(numSegments = 4))
+      }
+      if (!new java.io.File(s"$dir/deletes").exists()) {
+        index.Deletes.deleteByTerm(spark, dir, deleteTerm)
+        ()
+      }
+      new Searcher(spark, dir)
+    })
+
   /** Matching doc_ids of a compiled query, ascending — the unscored
     * (const-score) result shape shared by set/range/regex/fuzzy/phrase
     * queries. Output column: doc_id BIGINT.

@@ -114,6 +114,14 @@ object SparkEntry {
       Engine.docIds(Engine.searcher(s, dir), ExistsQ("lang"))),
     "ft_fuzzy" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir), FuzzyQ("quer", distance = 1))),
+    "ft_mlt" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      val (seg, d) = Engine.addressOf(sr, 0L)
+      Engine.docIds(sr, MoreLikeThisQ(seg, d,
+        minDocFreq = 5, minTermFreq = 1, maxQueryTerms = 10))
+    },
+    "ft_delete" -> ((s, dir) =>
+      Engine.docIds(Engine.searcherWithDelete(s, dir, "dup"), TermQ("the"))),
     "ft_regex" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir), RegexQ("^s[a-z]*k$"))),
 
@@ -356,6 +364,20 @@ object SparkEntry {
     "ft_fuzzy" ->
       s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t IN
          |(SELECT t FROM (SELECT DISTINCT t FROM tok) WHERE levenshtein(t, 'quer') <= 1)
+         |ORDER BY doc_id""".stripMargin,
+    "ft_mlt" ->
+      s"""WITH $tokCte,
+         |d0 AS (SELECT t, count(*) AS tf FROM tok WHERE doc_id = 0 GROUP BY t),
+         |dfall AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+         |nn AS (SELECT count(*) AS nd FROM documents),
+         |sel AS (SELECT t FROM d0 JOIN dfall USING (t) CROSS JOIN nn
+         |  WHERE tf >= 1 AND df >= 5
+         |  ORDER BY tf * ln(CAST(nd AS DOUBLE) / df) DESC, t LIMIT 10)
+         |SELECT DISTINCT doc_id FROM tok WHERE t IN (SELECT t FROM sel)
+         |ORDER BY doc_id""".stripMargin,
+    "ft_delete" ->
+      s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t = 'the'
+         |AND doc_id NOT IN (SELECT doc_id FROM tok WHERE t = 'dup')
          |ORDER BY doc_id""".stripMargin,
     "ft_regex" ->
       s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t IN

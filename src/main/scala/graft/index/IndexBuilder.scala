@@ -42,6 +42,9 @@ object IndexBuilder {
     val terms = Analysis.defaultTerms(content)
     if (terms.isEmpty) Iterator.empty
     else {
+      // fieldnorm byte from the doc's own (post-filter) token count —
+      // computed here so the postings path carries it for free
+      val normId = FieldNorm.fieldnormToId(terms.length.toLong)
       val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
       terms.foreach { case (t, p) =>
         var buf = m.get(t)
@@ -54,7 +57,7 @@ object IndexBuilder {
         def next(): DocTermRow = {
           val e = it.next()
           val ps = e.getValue
-          DocTermRow(segId, docId, e.getKey, ps.length,
+          DocTermRow(segId, docId, e.getKey, ps.length, normId,
             if (withPositions) ps.toArray else Array.emptyIntArray)
         }
       }
@@ -153,7 +156,6 @@ object IndexBuilder {
   /** Build (or resume) the index. Returns the committed manifest. */
   def build(spark: SparkSession, input: DataFrame, indexDir: String,
             cfg: IndexConfig): Manifest.IndexMeta = {
-    import spark.implicits._
     val done = Manifest.listCheckpointedBatches(indexDir, cfg.configHash)
     val allSegs = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
 
@@ -161,9 +163,49 @@ object IndexBuilder {
       if (done.contains(b)) {
         allSegs ++= Manifest.readCheckpoint(indexDir, b, cfg.configHash)
       } else {
-        val t0 = System.nanoTime()
         val batchDocs = withSegId(input, cfg.numSegments)
           .where(pmod(col("segId"), lit(cfg.buildBatches)) === b)
+        val segs = writeBatch(spark, batchDocs, indexDir, b, cfg)
+        Manifest.writeCheckpoint(indexDir, b, cfg.configHash, segs)
+        allSegs ++= segs
+      }
+    }
+    val meta = Manifest.IndexMeta(cfg.configHash, allSegs.toSeq)
+    Manifest.write(indexDir, meta)
+    meta
+  }
+
+  /** Append one batch of documents as NEW segments to an existing (or
+    * empty) index — the micro-batch commit path used by
+    * `graft.streaming.StreamIngest` (each micro-batch == one
+    * `IndexWriter::commit` of the reference). Segment ids are offset past
+    * every live segment so appends never collide.
+    */
+  def append(spark: SparkSession, input: DataFrame, indexDir: String,
+             cfg: IndexConfig): Manifest.IndexMeta = {
+    val existing: Option[Manifest.IndexMeta] =
+      if (Manifest.exists(indexDir)) Some(Manifest.read(indexDir)) else None
+    val segBase = existing.map(_.segments.map(_.segId).max + 1).getOrElse(0)
+    val batch = existing.map(_.segments.map(_.batch).max + 1).getOrElse(0)
+    val batchDocs = withSegId(input, cfg.numSegments)
+      .withColumn("segId", col("segId") + segBase)
+    val segs = writeBatch(spark, batchDocs, indexDir, batch, cfg)
+    val meta = Manifest.IndexMeta(cfg.configHash,
+      existing.map(_.segments).getOrElse(Seq.empty) ++ segs)
+    Manifest.write(indexDir, meta)
+    meta
+  }
+
+  /** The per-batch core: batchDocs must carry a `segId` column; writes the
+    * four segment tables under `batch=<b>` and returns the segment metas
+    * (lineage + metrics + sha256 verification).
+    */
+  private def writeBatch(spark: SparkSession, batchDocs: DataFrame,
+                         indexDir: String, b: Int, cfg: IndexConfig): Seq[SegmentMeta] = {
+    import spark.implicits._
+    {
+      {
+        val t0 = System.nanoTime()
 
         // dense, deterministic per-segment docIds (FIXTURES.md: dense rank
         // over the primary key; never monotonically_increasing_id)
@@ -173,21 +215,31 @@ object IndexBuilder {
           .withColumn("sha256", sha2(col("content"), 256))
           .withColumn("contentLen", length(col("content")))
 
+        // ONE tokenize pass per batch: `analyzed` feeds stats, docmap token
+        // counts, and the postings shuffle. Persisted (memory, spill to
+        // disk) for the batch's lifetime — the batch is the unit sized to
+        // fit the cluster, exactly the reference's memory-budgeted segment
+        // cut (`index_writer.rs:27-31`) with Spark doing the spilling.
         val withPos = cfg.withPositions
         val analyzed: Dataset[DocTermRow] = base
           .select($"segId", $"docId", $"content").as[(Int, Int, String)]
           .flatMap { case (s, d, c) => perDocTerms(s, d, c, withPos) }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         // fieldnorm = post-filter token count = sum(tf) per doc
         val tokenCounts = analyzed.groupBy($"segId", $"docId")
           .agg(sum($"tf").as("tokenCount"))
 
-        val docmap = base.drop("content")
+        // docmap doubles as the docstore (`src/store/`): `content` is the
+        // stored field, read only when hydrating hits / MoreLikeThis
+        // (Parquet is columnar, so queries that don't project it never
+        // touch those pages).
+        val docmap = base
           .join(tokenCounts, Seq("segId", "docId"), "left")
           .withColumn("tokenCount", coalesce($"tokenCount", lit(0L)))
           .withColumn("normId", fieldnormToIdUdf($"tokenCount"))
           .select($"segId", $"docId", $"repo", $"path", $"commit", $"lang",
-            $"sha256", $"normId", $"tokenCount", $"contentLen")
+            $"sha256", $"normId", $"tokenCount", $"contentLen", $"content")
         docmap.write.mode("overwrite").parquet(s"$indexDir/docmap/batch=$b")
 
         val docmapW = spark.read.parquet(s"$indexDir/docmap/batch=$b")
@@ -201,17 +253,18 @@ object IndexBuilder {
           .map(s => s.segId -> Bm25.averageFieldnorm(s.totalNumTokens, s.numDocs)).toMap
         statsRows.toSeq.toDS().write.mode("overwrite").parquet(s"$indexDir/stats/batch=$b")
 
-        // postings: join normId in, shuffle to (segId, term), sort, block-build
+        // postings: normId rides in DocTermRow (no docmap join), shuffle to
+        // (segId, term), sort, streaming 128-doc block assembly
         val field = cfg.field; val blockSize = cfg.blockSize
         val avgFnB = spark.sparkContext.broadcast(avgFn)
         val blocks = analyzed
-          .join(docmapW.select($"segId", $"docId", $"normId"), Seq("segId", "docId"))
           .select($"segId", $"docId", $"term", $"tf", $"normId", $"positions")
           .as[(Int, Int, String, Int, Int, Array[Int])]
           .repartition($"segId", $"term")
           .sortWithinPartitions($"segId", $"term", $"docId")
           .mapPartitions(rows => buildBlocks(rows, avgFnB.value, field, blockSize))
         blocks.write.mode("overwrite").parquet(s"$indexDir/postings/batch=$b")
+        analyzed.unpersist()
 
         // term dictionary from the written blocks (128x smaller than postings)
         val postingsW = spark.read.parquet(s"$indexDir/postings/batch=$b")
@@ -230,14 +283,9 @@ object IndexBuilder {
           .groupBy($"segId").agg(count(lit(1)).as("terms"))
           .as[(Int, Long)].collect().toMap
         val wallMs = (System.nanoTime() - t0) / 1000000
-        val segs = statsRows.map(s => SegmentMeta(s.segId, b, s.numDocs,
+        statsRows.map(s => SegmentMeta(s.segId, b, s.numDocs,
           s.totalNumTokens, termCounts.getOrElse(s.segId, 0L), wallMs, shaOk)).toSeq
-        Manifest.writeCheckpoint(indexDir, b, cfg.configHash, segs)
-        allSegs ++= segs
       }
     }
-    val meta = Manifest.IndexMeta(cfg.configHash, allSegs.toSeq)
-    Manifest.write(indexDir, meta)
-    meta
   }
 }

@@ -48,9 +48,13 @@ final case class TermDictRow(segId: Int, field: String, term: String, docFreq: L
   */
 final case class StatsRow(segId: Int, field: String, totalNumTokens: Long, numDocs: Long)
 
-/** Intermediate: one (doc, term) posting with positions, pre-blocking. */
+/** Intermediate: one (doc, term) posting with positions, pre-blocking.
+  * `normId` is the doc's fieldnorm byte, computed inline during analysis
+  * (it depends only on the doc's own token count) so the postings path
+  * never joins back to docmap.
+  */
 final case class DocTermRow(
-    segId: Int, docId: Int, term: String, tf: Int, positions: Array[Int])
+    segId: Int, docId: Int, term: String, tf: Int, normId: Int, positions: Array[Int])
 
 /** Manifest entry — per-segment lineage + metrics (north-rule requirement):
   * which input batch produced it, rows/bytes/terms, wall time, sha256 check.

@@ -60,6 +60,15 @@ final case class RegexQ(pattern: String) extends Query
 /** `src/query/exist_query.rs:36-94` — docs where a docmap column is non-null. */
 final case class ExistsQ(column: String) extends Query
 
+/** `src/query/more_like_this/more_like_this.rs:50-78` — select the reference
+  * doc's most significant terms by tf-idf (filtered by min doc frequency,
+  * min term frequency, capped at maxQueryTerms, ties broken by ascending
+  * term), then match docs containing any selected term (the reference
+  * builds a boosted-TermQuery disjunction).
+  */
+final case class MoreLikeThisQ(segId: Int, docId: Int, minDocFreq: Long = 5,
+    minTermFreq: Long = 1, maxQueryTerms: Int = 10) extends Query
+
 /** `src/query/all_query.rs:12-38` — every doc, score 1.0. */
 case object AllQ extends Query
 

@@ -31,12 +31,31 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
   private def pin(df: DataFrame): DataFrame =
     if (liveSegIds.nonEmpty) df.where($"segId".isin(liveSegIds: _*)) else df
 
-  lazy val postings: DataFrame = pin(spark.read.parquet(s"$indexDir/postings")).cache()
-  lazy val docmap: DataFrame = pin(spark.read.parquet(s"$indexDir/docmap")).cache()
+  /** postings/docmap are NOT cached: queries predicate on (field, term) /
+    * (segId, docId), and leaving them as plain Parquet scans keeps Catalyst
+    * pushing those filters into the scan (PushedFilters + row-group min/max
+    * pruning on the sort order the builder wrote). Caching would force a
+    * full materialization — fine at test scale, impossible at 10^12 files.
+    * termdict (128x smaller than postings) and stats are cached: they serve
+    * the per-query df/N lookups, the hot metadata path.
+    */
+  lazy val postings: DataFrame = pin(spark.read.parquet(s"$indexDir/postings"))
+  lazy val docmap: DataFrame = pin(spark.read.parquet(s"$indexDir/docmap"))
   lazy val termdict: DataFrame = pin(spark.read.parquet(s"$indexDir/termdict")).cache()
-  lazy val statsDf: DataFrame = pin(spark.read.parquet(s"$indexDir/stats"))
+  lazy val statsDf: DataFrame = pin(spark.read.parquet(s"$indexDir/stats")).cache()
 
   /** Index-global statistics (`bm25.rs:25-48`): totals summed over segments. */
+  /** Delete tombstones (`segment.<opstamp>.del` analog): an optional
+    * `(segId, docId)` table; matching docs are filtered from every query via
+    * an anti-join — the alive-bitset semantics of
+    * `src/fastfield/alive_bitset.rs` applied at scan time. Compaction
+    * happens on merge, like the reference.
+    */
+  lazy val deletesDf: Option[DataFrame] = {
+    val p = new java.io.File(s"$indexDir/deletes")
+    if (p.exists()) Some(pin(spark.read.parquet(p.toString))) else None
+  }
+
   lazy val (totalNumTokens: Long, totalNumDocs: Long) = {
     val r = statsDf.where($"field" === field)
       .agg(sum($"totalNumTokens"), sum($"numDocs")).as[(Long, Long)].head()
@@ -89,8 +108,18 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
 
   // ---------- query compilation ----------
 
-  /** Compile a query to its matching (segId, docId, score) set. */
-  def compile(q: Query): Dataset[ScoredDoc] = q match {
+  /** Compile a query to its matching (segId, docId, score) set, with
+    * deleted docs filtered out (alive-bitset anti-join, applied once at the
+    * top of the tree — delete filtering is idempotent).
+    */
+  def compile(q: Query): Dataset[ScoredDoc] = deletesDf match {
+    case Some(d) =>
+      compileRaw(q).join(d.select($"segId", $"docId"), Seq("segId", "docId"), "left_anti")
+        .as[ScoredDoc]
+    case None => compileRaw(q)
+  }
+
+  private def compileRaw(q: Query): Dataset[ScoredDoc] = q match {
     case EmptyQ => spark.emptyDataset[ScoredDoc]
     case AllQ =>
       docmap.select($"segId", $"docId", lit(1.0f).as("score")).as[ScoredDoc]
@@ -124,14 +153,14 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       docmap.where(col(columnName).isNotNull)
         .select($"segId", $"docId", lit(1.0f).as("score")).as[ScoredDoc]
     case BoostQ(sub, boost) =>
-      compile(sub).map(s => s.copy(score = s.score * boost))
+      compileRaw(sub).map(s => s.copy(score = s.score * boost))
     case ConstScoreQ(sub, c) =>
-      compile(sub).map(s => s.copy(score = c))
+      compileRaw(sub).map(s => s.copy(score = c))
     case DisMaxQ(qs, tie) =>
       // max + tie * (sum of the others), accumulated in clause order
       // (`score_combiner.rs:60-90`)
       val tagged = qs.zipWithIndex.map { case (sub, i) =>
-        compile(sub).map(s => (s.segId, s.docId, i, s.score)) }
+        compileRaw(sub).map(s => (s.segId, s.docId, i, s.score)) }
       val all = tagged.reduceLeft(_ union _)
       all.groupByKey(r => (r._1, r._2)).mapGroups { (key, rows) =>
         val sorted = rows.toArray.sortBy(_._3)
@@ -139,6 +168,26 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         sorted.foreach { r => sm += r._4; if (r._4 > mx) mx = r._4 }
         ScoredDoc(key._1, key._2, mx + tie * (sm - mx))
       }
+    case MoreLikeThisQ(segId, docId, minDf, minTf, maxTerms) =>
+      // driver-side term selection (`more_like_this.rs:50-78`): re-analyze
+      // the reference doc's stored content, keep terms with tf >= minTf and
+      // global df >= minDf, rank by tf * ln(N/df) (doubles; ties by
+      // ascending term), cap at maxTerms; match docs containing any
+      // selected term. The reference boosts per-term; the doc-set semantics
+      // are identical.
+      val content = docmap
+        .where($"segId" === segId && $"docId" === docId)
+        .select($"content").as[String].head()
+      val tfs: Map[String, Int] = graft.analysis.Analysis.defaultTerms(content)
+        .groupBy(_._1).map { case (t, xs) => t -> xs.size }
+      val dfs = docFreqs(tfs.keys.toSeq.sorted)
+      val n = totalNumDocs
+      val selected = tfs.toSeq
+        .filter { case (t, tf) => tf >= minTf && dfs.getOrElse(t, 0L) >= minDf }
+        .map { case (t, tf) => (t, tf.toDouble * math.log(n.toDouble / dfs(t))) }
+        .sortBy { case (t, s) => (-s, t) }
+        .take(maxTerms).map(_._1)
+      docsForTerms(selected.sorted)
     case p: PhraseQ => compilePhrase(p)
     case pp: PhrasePrefixQ =>
       // expand the prefix against the term dictionary in ascending term
@@ -185,7 +234,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       } else {
         positives.zipWithIndex.map { case ((occ, sub), i) =>
           val isMust = occ == Occur.Must
-          compile(sub).map(s => (s.segId, s.docId, i, isMust, s.score))
+          compileRaw(sub).map(s => (s.segId, s.docId, i, isMust, s.score))
         }.reduceLeft(_ union _)
       }
 
@@ -199,7 +248,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
 
     if (negatives.isEmpty) combined
     else {
-      val neg = negatives.map(compile).reduceLeft(_ union _)
+      val neg = negatives.map(compileRaw).reduceLeft(_ union _)
         .select($"segId", $"docId").distinct()
       combined.join(neg, Seq("segId", "docId"), "left_anti").as[ScoredDoc]
     }
