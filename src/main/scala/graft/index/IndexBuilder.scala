@@ -114,7 +114,7 @@ object IndexBuilder {
           maxN = mn; maxT = mt
         }
         val b = PostingBlock(cur.segId, field, cur.term, blockId,
-          docs.last, docs.toArray, tfs.toArray, norms.toArray, maxN, maxT,
+          docs.last, docs.length, docs.toArray, tfs.toArray, norms.toArray, maxN, maxT,
           poss.toArray)
         blockId += 1
         docs.clear(); tfs.clear(); norms.clear(); poss.clear()
@@ -170,7 +170,7 @@ object IndexBuilder {
         allSegs ++= segs
       }
     }
-    val meta = Manifest.IndexMeta(cfg.configHash, allSegs.toSeq)
+    val meta = Manifest.IndexMeta(cfg.configHash, allSegs.toSeq, cfg.withPositions)
     Manifest.write(indexDir, meta)
     meta
   }
@@ -191,7 +191,7 @@ object IndexBuilder {
       .withColumn("segId", col("segId") + segBase)
     val segs = writeBatch(spark, batchDocs, indexDir, batch, cfg)
     val meta = Manifest.IndexMeta(cfg.configHash,
-      existing.map(_.segments).getOrElse(Seq.empty) ++ segs)
+      existing.map(_.segments).getOrElse(Seq.empty) ++ segs, cfg.withPositions)
     Manifest.write(indexDir, meta)
     meta
   }
@@ -206,6 +206,13 @@ object IndexBuilder {
     {
       {
         val t0 = System.nanoTime()
+        var tPrev = t0
+        def phase(name: String): Unit = {
+          val now = System.nanoTime()
+          if (sys.env.contains("SPARK_GRAFT_PHASE_LOG"))
+            System.err.println(f"[build] $name: ${(now - tPrev) / 1e9}%.1f s")
+          tPrev = now
+        }
 
         // dense, deterministic per-segment docIds (FIXTURES.md: dense rank
         // over the primary key; never monotonically_increasing_id)
@@ -241,6 +248,7 @@ object IndexBuilder {
           .select($"segId", $"docId", $"repo", $"path", $"commit", $"lang",
             $"sha256", $"normId", $"tokenCount", $"contentLen", $"content")
         docmap.write.mode("overwrite").parquet(s"$indexDir/docmap/batch=$b")
+        phase("docmap write (analyze+window+persist)")
 
         val docmapW = spark.read.parquet(s"$indexDir/docmap/batch=$b")
 
@@ -251,7 +259,9 @@ object IndexBuilder {
           .as[StatsRow].collect()
         val avgFn: Map[Int, Float] = statsRows
           .map(s => s.segId -> Bm25.averageFieldnorm(s.totalNumTokens, s.numDocs)).toMap
-        statsRows.toSeq.toDS().write.mode("overwrite").parquet(s"$indexDir/stats/batch=$b")
+        statsRows.toSeq.toDS().coalesce(1)
+          .write.mode("overwrite").parquet(s"$indexDir/stats/batch=$b")
+        phase("stats")
 
         // postings: normId rides in DocTermRow (no docmap join), shuffle to
         // (segId, term), sort, streaming 128-doc block assembly
@@ -265,12 +275,15 @@ object IndexBuilder {
           .mapPartitions(rows => buildBlocks(rows, avgFnB.value, field, blockSize))
         blocks.write.mode("overwrite").parquet(s"$indexDir/postings/batch=$b")
         analyzed.unpersist()
+        phase("postings shuffle+write")
 
         // term dictionary from the written blocks (128x smaller than postings)
         val postingsW = spark.read.parquet(s"$indexDir/postings/batch=$b")
+        // blockLen is a scalar column, so this reads no posting arrays
         postingsW.groupBy($"segId", $"field", $"term")
-          .agg(sum(size($"docIds")).as("docFreq"), count(lit(1)).cast("int").as("numBlocks"))
+          .agg(sum($"blockLen").as("docFreq"), count(lit(1)).cast("int").as("numBlocks"))
           .write.mode("overwrite").parquet(s"$indexDir/termdict/batch=$b")
+        phase("termdict")
 
         // per-row sha256 verification: re-read what we wrote, compare to source
         val mismatches = docmapW.select($"repo", $"path", $"commit", $"sha256")
@@ -278,10 +291,12 @@ object IndexBuilder {
             sha2($"content", 256).as("srcSha")), Seq("repo", "path", "commit"))
           .where($"sha256" =!= $"srcSha").count()
         val shaOk = mismatches == 0L
+        phase("sha256 verify")
 
         val termCounts = spark.read.parquet(s"$indexDir/termdict/batch=$b")
           .groupBy($"segId").agg(count(lit(1)).as("terms"))
           .as[(Int, Long)].collect().toMap
+        phase("termCounts collect")
         val wallMs = (System.nanoTime() - t0) / 1000000
         statsRows.map(s => SegmentMeta(s.segId, b, s.numDocs,
           s.totalNumTokens, termCounts.getOrElse(s.segId, 0L), wallMs, shaOk)).toSeq

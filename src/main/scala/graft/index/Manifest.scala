@@ -15,7 +15,8 @@ import scala.jdk.CollectionConverters._
   */
 object Manifest {
 
-  final case class IndexMeta(configHash: String, segments: Seq[SegmentMeta]) {
+  final case class IndexMeta(configHash: String, segments: Seq[SegmentMeta],
+      withPositions: Boolean = true) {
     def totalRows: Long = segments.map(_.rows).sum
     def totalTokens: Long = segments.map(_.tokens).sum
   }
@@ -30,7 +31,7 @@ object Manifest {
   def write(indexDir: String, meta: IndexMeta): Unit = {
     Files.createDirectories(Paths.get(metaDir(indexDir)))
     val json =
-      s"""{"configHash":"${meta.configHash}","segments":[""" +
+      s"""{"configHash":"${meta.configHash}","withPositions":${meta.withPositions},"segments":[""" +
       meta.segments.sortBy(_.segId).map(segmentJson).mkString(",") + "]}"
     val tmp = Paths.get(metaDir(indexDir), "segments.json.tmp")
     Files.writeString(tmp, json)
@@ -53,6 +54,8 @@ object Manifest {
   def read(indexDir: String): IndexMeta = {
     val json = Files.readString(Paths.get(metaDir(indexDir), "segments.json"))
     val cfg = field(json, "configHash")
+    val withPos = if (json.contains("\"withPositions\":")) // absent in pre-flag manifests
+      field(json, "withPositions").toBoolean else true
     val segsPart = json.substring(json.indexOf('[') + 1, json.lastIndexOf(']'))
     val segs =
       if (segsPart.trim.isEmpty) Seq.empty[SegmentMeta]
@@ -68,7 +71,7 @@ object Manifest {
           buildWallMs = field(obj, "buildWallMs").toLong,
           sha256ok = field(obj, "sha256ok").toBoolean)
       }
-    IndexMeta(cfg, segs)
+    IndexMeta(cfg, segs, withPos)
   }
 
   // ---- per-batch checkpoints ----

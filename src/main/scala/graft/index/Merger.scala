@@ -73,48 +73,105 @@ object Merger {
     require(srcMetas.size == sources.size, "unknown source segment")
     val newBatch = meta.segments.map(_.batch).max + 1
 
-    // doc-id remap by stacking in segment order (merger.rs:109)
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      sources.map { s =>
-        val o = s -> acc; acc += srcMetas.find(_.segId == s).get.rows; o
-      }.toMap
-    }
-    val offsetU = udf((segId: Int) => offsets(segId))
-
-    val docmap = spark.read.parquet(s"$indexDir/docmap")
-      .where($"segId".isin(sources: _*))
-      .withColumn("docId", ($"docId" + offsetU($"segId")).cast("int"))
-      .withColumn("segId", lit(newSegId))
-      .drop("batch")
-    docmap.write.mode("overwrite").parquet(s"$indexDir/docmap/batch=$newBatch")
-
-    // merged stats / norm cache (exact recompute, merger.rs:29-71 note)
-    val mergedTokens = srcMetas.map(_.tokens).sum
-    val mergedRows = srcMetas.map(_.rows).sum
-    val avgFn = Bm25.averageFieldnorm(mergedTokens, mergedRows)
-    Seq(StatsRow(newSegId, cfg.field, mergedTokens, mergedRows)).toDS()
-      .write.mode("overwrite").parquet(s"$indexDir/stats/batch=$newBatch")
-
-    // startRank(term, seg) = prefix sum of doc_freq over segment order
-    val td = spark.read.parquet(s"$indexDir/termdict")
-      .where($"segId".isin(sources: _*) && $"field" === cfg.field)
-    val w = Window.partitionBy($"term").orderBy($"segId")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val startRanks = td.select($"segId", $"term",
-      coalesce(sum($"docFreq").over(w), lit(0L)).as("startRank"))
+    // delete tombstones for the source segments: merge is where deletes are
+    // physically compacted away (the reference drops deleted docs during
+    // `IndexMerger::write`, `merger.rs:148`); surviving docs get fresh dense
+    // ids, and the tombstones die with the old segIds (pin() keys the
+    // deletes table by live segments).
+    val delFile = new java.io.File(s"$indexDir/deletes")
+    val tombstones: Option[DataFrame] =
+      if (!delFile.exists()) None
+      else {
+        val d = spark.read.parquet(delFile.toString)
+          .where($"segId".isin(sources: _*))
+          .select($"segId", $"docId").distinct().cache()
+        if (d.isEmpty) None else Some(d)
+      }
 
     val blockSize = cfg.blockSize
     val field = cfg.field
-    val exploded = spark.read.parquet(s"$indexDir/postings")
-      .where($"segId".isin(sources: _*) && $"field" === field)
-      .select($"segId", $"term", $"blockId",
-        posexplode(arrays_zip($"docIds", $"tfs", $"normIds", $"positions")).as(Seq("pos", "p")))
-      .join(startRanks, Seq("segId", "term"))
-      .select($"term",
-        ($"startRank" + $"blockId" * blockSize + $"pos").as("rank"),
-        ($"p.docIds" + offsetU($"segId")).cast("int").as("docId"),
-        $"p.tfs".as("tf"), $"p.normIds".as("normId"), $"p.positions".as("positions"))
+    val docmapSrc = spark.read.parquet(s"$indexDir/docmap")
+      .where($"segId".isin(sources: _*)).drop("batch")
+
+    val (docmap, exploded, mergedRows, mergedTokens) = tombstones match {
+      case None =>
+        // fast path: no holes — doc-id remap is pure stacking arithmetic
+        // (merger.rs:109), and every posting's merged rank is computable
+        // from per-segment doc_freq prefix sums (no windowing over data).
+        val offsets: Map[Int, Long] = {
+          var acc = 0L
+          sources.map { s =>
+            val o = s -> acc; acc += srcMetas.find(_.segId == s).get.rows; o
+          }.toMap
+        }
+        val offsetU = udf((segId: Int) => offsets(segId))
+
+        val dm = docmapSrc
+          .withColumn("docId", ($"docId" + offsetU($"segId")).cast("int"))
+          .withColumn("segId", lit(newSegId))
+
+        // startRank(term, seg) = prefix sum of doc_freq over segment order
+        val td = spark.read.parquet(s"$indexDir/termdict")
+          .where($"segId".isin(sources: _*) && $"field" === cfg.field)
+        val w = Window.partitionBy($"term").orderBy($"segId")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val startRanks = td.select($"segId", $"term",
+          coalesce(sum($"docFreq").over(w), lit(0L)).as("startRank"))
+
+        val ex = spark.read.parquet(s"$indexDir/postings")
+          .where($"segId".isin(sources: _*) && $"field" === field)
+          .select($"segId", $"term", $"blockId",
+            posexplode(arrays_zip($"docIds", $"tfs", $"normIds", $"positions")).as(Seq("pos", "p")))
+          .join(startRanks, Seq("segId", "term"))
+          .select($"term",
+            ($"startRank" + $"blockId" * blockSize + $"pos").as("rank"),
+            ($"p.docIds" + offsetU($"segId")).cast("int").as("docId"),
+            $"p.tfs".as("tf"), $"p.normIds".as("normId"), $"p.positions".as("positions"))
+        (dm, ex, srcMetas.map(_.rows).sum, srcMetas.map(_.tokens).sum)
+
+      case Some(dead) =>
+        // compaction path: drop dead docs, re-densify doc ids in stacking
+        // order. The remap window is unpartitioned (single task) — bounded
+        // by the per-segment MAX_DOC_LIMIT cap, same bound the reference's
+        // single-threaded merge lives under; the posting re-rank window is
+        // per-term (hot-term skew accepted for compaction, which is rare
+        // and offline relative to builds).
+        val alive = docmapSrc.join(dead, Seq("segId", "docId"), "left_anti").cache()
+        val remapW = Window.orderBy($"srcSegId", $"srcDocId")
+        val remap = alive.select($"segId".as("srcSegId"), $"docId".as("srcDocId"))
+          .withColumn("newDocId", (row_number().over(remapW) - 1).cast("int"))
+          .cache()
+
+        val dm = alive
+          .withColumnRenamed("segId", "srcSegId").withColumnRenamed("docId", "srcDocId")
+          .join(remap, Seq("srcSegId", "srcDocId"))
+          .withColumn("segId", lit(newSegId))
+          .withColumn("docId", $"newDocId")
+          .drop("srcSegId", "srcDocId", "newDocId")
+
+        val agg = alive.agg(count(lit(1)), coalesce(sum($"tokenCount"), lit(0L)))
+          .as[(Long, Long)].head()
+
+        val rankW = Window.partitionBy($"term").orderBy($"srcSegId", $"srcDocId")
+        val ex = spark.read.parquet(s"$indexDir/postings")
+          .where($"segId".isin(sources: _*) && $"field" === field)
+          .select($"segId".as("srcSegId"), $"term",
+            posexplode(arrays_zip($"docIds", $"tfs", $"normIds", $"positions")).as(Seq("pos", "p")))
+          .withColumn("srcDocId", $"p.docIds")
+          .join(remap, Seq("srcSegId", "srcDocId"))
+          .select($"term", $"srcSegId", $"srcDocId", $"newDocId",
+            $"p.tfs".as("tf"), $"p.normIds".as("normId"), $"p.positions".as("positions"))
+          .withColumn("rank", (row_number().over(rankW) - 1).cast("long"))
+          .select($"term", $"rank", $"newDocId".as("docId"), $"tf", $"normId", $"positions")
+        (dm, ex, agg._1, agg._2)
+    }
+
+    docmap.write.mode("overwrite").parquet(s"$indexDir/docmap/batch=$newBatch")
+
+    // merged stats / norm cache (exact recompute, merger.rs:29-71 note)
+    val avgFn = Bm25.averageFieldnorm(mergedTokens, mergedRows)
+    Seq(StatsRow(newSegId, cfg.field, mergedTokens, mergedRows)).toDS()
+      .write.mode("overwrite").parquet(s"$indexDir/stats/batch=$newBatch")
 
     // the skew-proof shuffle: key = (term, target block id)
     val cache = Bm25.computeTfCache(avgFn)
@@ -128,14 +185,14 @@ object Merger {
         val (mn, mt) =
           if (rows.length == blockSize) IndexBuilder.blockMaxPair(tfs, norms, cache)
           else (255, 255)
-        PostingBlock(newSegId, field, key._1, key._2, docs.last,
+        PostingBlock(newSegId, field, key._1, key._2, docs.last, docs.length,
           docs, tfs, norms, mn, mt, rows.map(_._6))
       }
     blocks.write.mode("overwrite").parquet(s"$indexDir/postings/batch=$newBatch")
 
     val postingsW = spark.read.parquet(s"$indexDir/postings/batch=$newBatch")
     postingsW.groupBy($"segId", $"field", $"term")
-      .agg(sum(size($"docIds")).as("docFreq"), count(lit(1)).cast("int").as("numBlocks"))
+      .agg(sum($"blockLen").as("docFreq"), count(lit(1)).cast("int").as("numBlocks"))
       .write.mode("overwrite").parquet(s"$indexDir/termdict/batch=$newBatch")
 
     val terms = spark.read.parquet(s"$indexDir/termdict/batch=$newBatch").count()
@@ -143,7 +200,8 @@ object Merger {
     val mergedMeta = SegmentMeta(newSegId, newBatch, mergedRows, mergedTokens,
       terms, wallMs, srcMetas.forall(_.sha256ok))
     val newMeta = Manifest.IndexMeta(meta.configHash,
-      meta.segments.filterNot(s => sources.contains(s.segId)) :+ mergedMeta)
+      meta.segments.filterNot(s => sources.contains(s.segId)) :+ mergedMeta,
+      meta.withPositions)
     Manifest.write(indexDir, newMeta)
     newMeta
   }

@@ -33,7 +33,7 @@ final case class DocMapRow(
   */
 final case class PostingBlock(
     segId: Int, field: String, term: String, blockId: Int,
-    lastDoc: Int,
+    lastDoc: Int, blockLen: Int,
     docIds: Array[Int], tfs: Array[Int], normIds: Array[Int],
     maxNormId: Int, maxTf: Int,
     positions: Array[Array[Int]])

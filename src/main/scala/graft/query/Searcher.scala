@@ -23,10 +23,12 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     * (merged-away segments' files stay on disk until GC, like the
     * reference's immutable segments + meta.json, `ARCHITECTURE.md:41-53`).
     */
-  val liveSegIds: Seq[Int] =
+  val indexMeta: Option[graft.index.Manifest.IndexMeta] =
     if (graft.index.Manifest.exists(indexDir))
-      graft.index.Manifest.read(indexDir).segments.map(_.segId)
-    else Seq.empty
+      Some(graft.index.Manifest.read(indexDir))
+    else None
+
+  val liveSegIds: Seq[Int] = indexMeta.map(_.segments.map(_.segId)).getOrElse(Seq.empty)
 
   private def pin(df: DataFrame): DataFrame =
     if (liveSegIds.nonEmpty) df.where($"segId".isin(liveSegIds: _*)) else df
@@ -260,6 +262,10 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     * multi-term BM25 weight (summed idf, `bm25.rs:115-123`).
     */
   private def compilePhrase(p: PhraseQ): Dataset[ScoredDoc] = {
+    // the reference errors when positions were not indexed
+    // (`query_parser.rs:986-991`); silently empty matches would be worse
+    require(indexMeta.forall(_.withPositions),
+      s"phrase query needs positions, but the index at $indexDir was built with withPositions=false")
     val terms = p.terms.map(_._2)
     val dfs = docFreqs(terms.distinct)
     if (terms.distinct.exists(t => !dfs.contains(t))) return spark.emptyDataset[ScoredDoc]
@@ -314,6 +320,17 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     */
   def topDocsWand(terms: Seq[String], k: Int): Array[Hit] =
     Wand.topK(this, terms, k)
+
+  /** Docstore hydration (`store/reader.rs:239 get`): fetch the stored
+    * fields of the final top-k hits — a broadcast semi-join of the k
+    * addresses against docmap, so only the hit rows' pages are read.
+    */
+  def fetch(hits: Seq[Hit]): DataFrame = {
+    if (hits.isEmpty) return docmap.limit(0)
+    val addrs = hits.map(h => (h.segId, h.docId, h.score)).toDF("segId", "docId", "score")
+    docmap.join(broadcast(addrs), Seq("segId", "docId"))
+      .orderBy(desc("score"), asc("segId"), asc("docId"))
+  }
 }
 
 /** Positional phrase matching, replicating `intersection_count_with_slop`

@@ -43,6 +43,45 @@ class DeleteStreamSpec extends AnyFunSuite {
     assert(Deletes.deleteByTerm(spark, dir, "error") == 0)
   }
 
+  test("merge compacts deletes: dead docs physically dropped, results unchanged") {
+    import spark.implicits._
+    val dir = tmpDir("delmerge")
+    val cfg = IndexConfig(numSegments = 3)
+    val corpus = CorpusGen.corpus(spark, 400)
+    IndexBuilder.build(spark, corpus.toDF(), dir, cfg)
+    Deletes.deleteByTerm(spark, dir, "error")
+
+    val before = new Searcher(spark, dir)
+    val expectVal = before.count(TermQ("val"))
+    val expectTop = before.topDocsWand(Seq("val", "def"), 10).map(h => h.score)
+
+    val srcSegs = graft.index.Manifest.read(dir).segments.map(_.segId)
+    graft.index.Merger.merge(spark, dir, cfg, srcSegs, newSegId = 100)
+
+    val after = new Searcher(spark, dir)
+    assert(after.liveSegIds == Seq(100))
+    assert(after.count(TermQ("error")) == 0)
+    assert(after.count(TermQ("val")) == expectVal)
+    // dead docs are physically gone, not just masked: manifest rows ==
+    // docmap rows == alive count, and postings contain no trace of 'error'
+    val m = graft.index.Manifest.read(dir)
+    assert(m.segments.head.rows == after.docmap.count())
+    assert(after.postings.where($"term" === "error").count() == 0)
+    // stats were recomputed from survivors
+    assert(m.segments.head.tokens ==
+      after.docmap.agg(org.apache.spark.sql.functions.sum($"tokenCount"))
+        .as[Long].head())
+    // scores shift (global stats changed), but the engine stays consistent:
+    // WAND path == exact path on the compacted index
+    val wand = after.topDocsWand(Seq("val", "def"), 10)
+    val exact = after.topDocs(graft.query.BoolQ(Seq(
+      graft.query.Occur.Should -> TermQ("val"),
+      graft.query.Occur.Should -> TermQ("def"))), 10)
+    assert(wand.map(h => (h.segId, h.docId, h.score)).toSeq ==
+      exact.map(h => (h.segId, h.docId, h.score)).toSeq)
+    assert(expectTop.nonEmpty)
+  }
+
   test("micro-batch append commits are isolated, resumable and searchable") {
     val dir = tmpDir("stream")
     val cfg = IndexConfig(numSegments = 2)
