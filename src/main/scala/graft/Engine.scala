@@ -85,6 +85,20 @@ object Engine {
       .orderBy("doc_id")
   }
 
+  /** Hierarchical facet counts (`src/collector/facet_collector.rs:183-418`):
+    * each matching doc contributes to every ancestor of its facet path
+    * `/lang/repo` — the FacetTokenizer explode (`facet_tokenizer.rs`) as a
+    * Dataset pipeline: explode ancestor prefixes, groupBy count.
+    */
+  def facetCounts(sr: Searcher, q: Query): DataFrame = {
+    val facetU = udf((lang: String, repo: String) =>
+      graft.analysis.Analysis.facetTokenize(s"/$lang/$repo"))
+    docIdsWithDocmap(sr, q)
+      .select(explode(facetU(col("lang"), col("repo"))).as("facet"))
+      .groupBy("facet").agg(count(lit(1)).as("cnt"))
+      .orderBy("facet")
+  }
+
   // ------------------------------------------------------------ F64 scoring
 
   /** Shared Spark-SQL / DuckDB-SQL BM25 fragment, double-typed end to end

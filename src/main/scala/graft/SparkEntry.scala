@@ -124,6 +124,12 @@ object SparkEntry {
       Engine.docIds(Engine.searcherWithDelete(s, dir, "dup"), TermQ("the"))),
     "ft_regex" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir), RegexQ("^s[a-z]*k$"))),
+    "ft_regex_phrase" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        RegexPhraseQ(Seq(0 -> "^sp[a-z]*$", 1 -> "^m[a-z]*e$")))),
+    "ft_parsed" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("+spark merge -join"))),
 
     // ---- collectors ----
     "ft_count" -> ((s, dir) =>
@@ -138,6 +144,8 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
         .orderBy("lang")
     },
+    "ft_facet_path" -> ((s, dir) =>
+      Engine.facetCounts(Engine.searcher(s, dir), TermQ("spark"))),
     "ft_histogram" -> { (s, dir) =>
       val sr = Engine.searcher(s, dir)
       Engine.docIdsWithDocmap(sr, TermQ("join"))
@@ -284,6 +292,16 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) =>
       TextOps.winnow(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         .orderBy("doc_id", "fp")),
+    "text_ngram" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.analysis.Analysis.ngramTokenize(t, 3, 3).map(g => (id, g.text)) }
+        .toDF("doc_id", "gram").distinct()
+        .orderBy("doc_id", "gram")
+    },
 
     // ---- multimodal plumbing (stubbed decode; see Multimodal) ----
     "mm_blob_meta" -> { (s, dir) =>
@@ -383,6 +401,26 @@ object SparkEntry {
       s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t IN
          |(SELECT t FROM (SELECT DISTINCT t FROM tok) WHERE regexp_matches(t, '^s[a-z]*k$$'))
          |ORDER BY doc_id""".stripMargin,
+    "ft_regex_phrase" ->
+      s"""WITH $posCte SELECT DISTINCT a.doc_id AS doc_id FROM pos a
+         |JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |WHERE regexp_matches(a.t, '^sp[a-z]*$$') AND regexp_matches(b.t, '^m[a-z]*e$$')
+         |ORDER BY doc_id""".stripMargin,
+    "ft_parsed" ->
+      s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t = 'spark'
+         |AND doc_id NOT IN (SELECT doc_id FROM tok WHERE t = 'join')
+         |ORDER BY doc_id""".stripMargin,
+    "ft_facet_path" ->
+      s"""WITH $tokCte, m AS (SELECT DISTINCT doc_id FROM tok WHERE t = 'spark'),
+         |f AS (SELECT '/' || lang AS facet FROM documents JOIN m USING (doc_id)
+         |      UNION ALL
+         |      SELECT '/' || lang || '/' || source FROM documents JOIN m USING (doc_id))
+         |SELECT facet, count(*) AS cnt FROM f GROUP BY facet ORDER BY facet""".stripMargin,
+    "text_ngram" ->
+      """SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram
+        |FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+        |      FROM documents WHERE doc_id < 20)
+        |ORDER BY doc_id, gram""".stripMargin,
 
     "ft_count" ->
       s"WITH $tokCte SELECT count(DISTINCT doc_id) AS cnt FROM tok WHERE t IN ('spark', 'merge')",

@@ -69,6 +69,16 @@ final case class ExistsQ(column: String) extends Query
 final case class MoreLikeThisQ(segId: Int, docId: Int, minDocFreq: Long = 5,
     minTermFreq: Long = 1, maxQueryTerms: Int = 10) extends Query
 
+/** `src/query/phrase_query/regex_phrase_query.rs:23` — a phrase whose terms
+  * are regexes; each position expands to the matching terms from the term
+  * dictionary (ascending term order, capped at `maxExpansions` per position),
+  * and a doc matches when some combination completes the phrase. Doc-set
+  * (const score) semantics here; the reference scores via per-position
+  * unions.
+  */
+final case class RegexPhraseQ(terms: Seq[(Int, String)], slop: Int = 0,
+    maxExpansions: Int = 1000) extends Query
+
 /** `src/query/all_query.rs:12-38` — every doc, score 1.0. */
 case object AllQ extends Query
 

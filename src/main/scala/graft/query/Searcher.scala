@@ -105,6 +105,21 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       .as[ScoredDoc]
   }
 
+  /** Unscored doc set for a DataFrame of matching terms (automaton queries
+    * whose expansion is computed distributed): a broadcast semi-join of the
+    * matched-terms set against the postings scan — no driver-side collect of
+    * the term dictionary, so this path survives a 10^12-file term dict
+    * (the matched set after an automaton is small; the DICTIONARY need not
+    * fit anywhere).
+    */
+  def docsForTermsDf(matched: DataFrame): Dataset[ScoredDoc] =
+    postings.where($"field" === field)
+      .join(broadcast(matched.select($"term").distinct()), Seq("term"), "left_semi")
+      .select($"segId", explode($"docIds").as("docId"))
+      .distinct()
+      .select($"segId", $"docId", lit(1.0f).as("score"))
+      .as[ScoredDoc]
+
   lazy val allTerms: DataFrame =
     termdict.where($"field" === field).select($"term").distinct()
 
@@ -129,21 +144,21 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       scoredTermDocs(Seq(t)).select($"segId", $"docId", $"score").as[ScoredDoc]
     case TermSetQ(ts) => docsForTerms(ts.toSeq.sorted)
     case RegexQ(pattern) =>
-      val ts = allTerms.where(regexp_like($"term", lit(pattern)))
-        .as[String].collect().toSeq.sorted
-      docsForTerms(ts)
+      // regex over the term dictionary (`regex_query.rs:57`), evaluated
+      // DISTRIBUTED over termdict, then semi-joined into the postings scan —
+      // the term dict never passes through the driver.
+      docsForTermsDf(allTerms.where(regexp_like($"term", lit(pattern))))
     case FuzzyQ(term, d, transpose, prefix) =>
-      // driver-side scan of the distinct term dictionary with a banded DP —
-      // the FST+DFA intersection of the reference (`fuzzy_query.rs:80-131`)
-      // re-expressed over the deduplicated term dict; const score 1.0.
-      val cands = allTerms.as[String].collect()
-      val matched = cands.filter { c =>
+      // banded-DP Levenshtein over the distinct term dictionary — the
+      // FST+DFA intersection of the reference (`fuzzy_query.rs:80-131`)
+      // evaluated as a distributed filter on termdict; const score 1.0.
+      val within = udf { c: String =>
         if (prefix && c.length >= term.length)
           Levenshtein.within(term, c.substring(0, term.length), d, transpose) ||
             Levenshtein.within(term, c, d, transpose)
         else Levenshtein.within(term, c, d, transpose)
-      }.toSeq.sorted
-      docsForTerms(matched)
+      }
+      docsForTermsDf(allTerms.where(within($"term")))
     case RangeQ(columnName, lower, upper) =>
       var df = docmap
       lower.foreach { case (v, incl) =>
@@ -191,6 +206,48 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         .take(maxTerms).map(_._1)
       docsForTerms(selected.sorted)
     case p: PhraseQ => compilePhrase(p)
+    case rp: RegexPhraseQ =>
+      // per-position regex expansion against the term dictionary
+      // (`regex_phrase_query.rs:23`): slot i matches any of its expanded
+      // terms; a doc matches when the per-slot position UNIONS satisfy the
+      // phrase offsets. Expansions are computed distributed; only the
+      // (small) matched sets are collected to build the slot map.
+      require(indexMeta.forall(_.withPositions),
+        s"regex-phrase query needs positions, but the index at $indexDir was built with withPositions=false")
+      val slotTerms: Seq[Seq[String]] = rp.terms.map { case (_, pat) =>
+        allTerms.where(regexp_like($"term", lit(pat)))
+          .orderBy($"term").limit(rp.maxExpansions).as[String].collect().toSeq
+      }
+      if (slotTerms.exists(_.isEmpty)) spark.emptyDataset[ScoredDoc]
+      else {
+        val offsets = rp.terms.map(_._1).toArray
+        val nSlots = offsets.length
+        // term -> slots it can fill (a term may match several regexes)
+        val termSlots: Map[String, Seq[Int]] = slotTerms.zipWithIndex
+          .flatMap { case (ts, i) => ts.map(t => (t, i)) }
+          .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+        val allMatched = termSlots.keys.toSeq.sorted
+        val slop = rp.slop
+        val rows = postings
+          .where($"field" === field && $"term".isin(allMatched: _*))
+          .select($"segId", $"term", explode(arrays_zip($"docIds", $"positions")).as("p"))
+          .select($"segId", $"term", $"p.docIds".as("docId"), $"p.positions".as("positions"))
+          .as[(Int, String, Int, Array[Int])]
+        rows.groupByKey(r => (r._1, r._3)).flatMapGroups { (key, it) =>
+          // per-slot union of matching terms' positions, merged sorted
+          val bySlot = Array.fill(nSlots)(scala.collection.mutable.ArrayBuffer.empty[Int])
+          it.foreach { case (_, term, _, pos) =>
+            termSlots.getOrElse(term, Seq.empty).foreach(i => bySlot(i) ++= pos)
+          }
+          if (bySlot.exists(_.isEmpty)) Iterator.empty
+          else {
+            val arrays = bySlot.map(_.distinct.sorted.toArray)
+            val count = PhraseMatcher.phraseCount(offsets, arrays, slop)
+            if (count > 0) Iterator.single(ScoredDoc(key._1, key._2, 1.0f))
+            else Iterator.empty
+          }
+        }
+      }
     case pp: PhrasePrefixQ =>
       // expand the prefix against the term dictionary in ascending term
       // order, capped at maxExpansions (`phrase_prefix_query.rs`), then

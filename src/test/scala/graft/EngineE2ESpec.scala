@@ -160,6 +160,18 @@ class EngineE2ESpec extends AnyFunSuite {
     assert(searcher.count(fz) == naive.count(fz))
   }
 
+  test("regex phrase == brute force over token stream") {
+    val d = naive.docs.find(_.tokens.length >= 2).get
+    val r1 = "^" + d.tokens(0).take(2) + "[a-z0-9]*$"
+    val r2 = "^" + d.tokens(1).take(2) + "[a-z0-9]*$"
+    val q = RegexPhraseQ(Seq(0 -> r1, 1 -> r2))
+    val expected = naive.docs.count { doc =>
+      doc.tokens.sliding(2).exists(p => p.length == 2 && p(0).matches(r1) && p(1).matches(r2))
+    }
+    assert(expected > 0, "fixture bigram should match its own prefixes")
+    assert(searcher.count(q) == expected)
+  }
+
   test("all / empty / parser") {
     assert(searcher.count(AllQ) == nDocs)
     assert(searcher.count(EmptyQ) == 0)
