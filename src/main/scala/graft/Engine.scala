@@ -154,6 +154,30 @@ object Engine {
       .withColumn("doc_id", $"path".cast("long"))
   }
 
+  /** Score Explanation (`src/query/explanation.rs`, Lucene-format BM25
+    * breakdown `bm25.rs:191-221`): per (doc, term) the idf / tf / dl
+    * components alongside the final score, f64 for the DuckDB oracle.
+    */
+  def explainF64(sr: Searcher, terms: Seq[String]): DataFrame = {
+    val spark = sr.spark
+    import spark.implicits._
+    val distinctTerms = terms.distinct
+    val dfs = sr.docFreqs(distinctTerms).toSeq.toDF("term", "df")
+    val nDocs = sr.totalNumDocs
+    val avgdlSql = s"CAST(${sr.totalNumTokens} AS DOUBLE) / $nDocs"
+    sr.postings
+      .where($"field" === sr.field && $"term".isin(distinctTerms: _*))
+      .select($"segId", $"term", explode(arrays_zip($"docIds", $"tfs")).as("p"))
+      .select($"segId", $"term", $"p.docIds".as("docId"), $"p.tfs".cast("long").as("tf"))
+      .join(sr.docmap.select($"segId", $"docId", $"path", $"tokenCount".as("dl")),
+        Seq("segId", "docId"))
+      .join(broadcast(dfs), Seq("term"))
+      .select($"path".cast("long").as("doc_id"), $"term", $"tf", $"dl",
+        round(expr(s"ln(1e0 + ($nDocs - df + 0.5e0) / (df + 0.5e0))"), 6).as("idf"),
+        round(expr(bm25F64(nDocs.toString, avgdlSql)), 6).as("score"))
+      .orderBy("doc_id", "term")
+  }
+
   /** Disjunctive (pure-Should) BM25 top-k in f64: score = sum of matching
     * term scores; deterministic total order (rounded score desc, doc_id).
     */

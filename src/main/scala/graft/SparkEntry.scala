@@ -146,6 +146,19 @@ object SparkEntry {
     },
     "ft_facet_path" -> ((s, dir) =>
       Engine.facetCounts(Engine.searcher(s, dir), TermQ("spark"))),
+    "ft_explain" -> ((s, dir) =>
+      Engine.explainF64(Engine.searcher(s, dir), Seq("spark", "merge"))),
+    // MultiCollector (`multi_collector.rs:166`): several collectors in ONE
+    // pass over the matching doc set — count + min/max/sum of a fast field
+    "ft_multi" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      Engine.docIdsWithDocmap(sr, TermQ("join"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("contentLen")).cast("long").as("min_len"),
+          max(col("contentLen")).cast("long").as("max_len"),
+          sum(col("contentLen")).cast("long").as("sum_len"))
+    },
     "ft_histogram" -> { (s, dir) =>
       val sr = Engine.searcher(s, dir)
       Engine.docIdsWithDocmap(sr, TermQ("join"))
@@ -232,6 +245,18 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("uniq"))
         .orderBy("event_type")),
+    // sketch paths for the 100 TB tier (HLL++ / KLL; different sketches than
+    // the reference's, so rows-only checks — SURVEY.md §2.8 notes non-parity)
+    "agg_cardinality_approx" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("uniq_approx"))
+        .orderBy("event_type")),
+    "agg_percentiles_approx" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, array(0.25e0, 0.5e0, 0.95e0), 1000)").as("pcts"))
+        .orderBy("l_returnflag")),
     "agg_top_hits" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
@@ -422,6 +447,24 @@ object SparkEntry {
         |      FROM documents WHERE doc_id < 20)
         |ORDER BY doc_id, gram""".stripMargin,
 
+    "ft_explain" ->
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok WHERE t IN ('spark', 'merge') GROUP BY doc_id, t),
+         |dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok WHERE t IN ('spark', 'merge') GROUP BY t)
+         |SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
+         |round(ln(1e0 + (nd - df + 0.5e0) / (df + 0.5e0)), 6) AS idf,
+         |round(${Engine.bm25F64("nd", "CAST(tt AS DOUBLE) / nd")}, 6) AS score
+         |FROM tf JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN st
+         |ORDER BY doc_id, term""".stripMargin,
+    "ft_multi" ->
+      s"""WITH $tokCte, m AS (SELECT DISTINCT doc_id FROM tok WHERE t = 'join')
+         |SELECT count(*) AS cnt,
+         |CAST(min(n_chars) AS BIGINT) AS min_len,
+         |CAST(max(n_chars) AS BIGINT) AS max_len,
+         |CAST(sum(n_chars) AS BIGINT) AS sum_len
+         |FROM documents JOIN m USING (doc_id)""".stripMargin,
     "ft_count" ->
       s"WITH $tokCte SELECT count(DISTINCT doc_id) AS cnt FROM tok WHERE t IN ('spark', 'merge')",
     "ft_all_count" -> "SELECT count(*) AS cnt FROM documents",

@@ -231,7 +231,10 @@ object IndexBuilder {
         val analyzed: Dataset[DocTermRow] = base
           .select($"segId", $"docId", $"content").as[(Int, Int, String)]
           .flatMap { case (s, d, c) => perDocTerms(s, d, c, withPos) }
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // serialized storage: the analyzed rows are short-lived bulk data;
+          // deserialized on-heap caching makes the GC scan tens of millions
+          // of small objects and collapses scaling past ~8 cores
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
         // fieldnorm = post-filter token count = sum(tf) per doc
         val tokenCounts = analyzed.groupBy($"segId", $"docId")

@@ -74,6 +74,34 @@ object Manifest {
     IndexMeta(cfg, segs, withPos)
   }
 
+  /** Segment file GC (`src/indexer/index_writer.rs:482
+    * garbage_collect_files`): delete `batch=<b>` directories that no LIVE
+    * segment references. Merge rewrites survivors into a fresh batch dir and
+    * republishes the manifest, so a batch absent from the manifest is
+    * unreachable by any future reader; run GC only when no reader still pins
+    * an older manifest (the reference's living-files contract). Returns the
+    * deleted paths.
+    */
+  def gc(indexDir: String): Seq[String] = {
+    val live = read(indexDir).segments.map(_.batch).toSet
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (table <- Seq("postings", "docmap", "termdict", "stats")) {
+      val dir = Paths.get(indexDir, table)
+      if (Files.exists(dir)) {
+        Files.list(dir).iterator().asScala.toSeq.foreach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("batch=") &&
+              !live.contains(name.stripPrefix("batch=").toInt)) {
+            Files.walk(p).iterator().asScala.toSeq.reverseIterator
+              .foreach(Files.delete)
+            deleted += p.toString
+          }
+        }
+      }
+    }
+    deleted.toSeq
+  }
+
   // ---- per-batch checkpoints ----
 
   def checkpointPath(indexDir: String, batch: Int, configHash: String) =

@@ -88,6 +88,17 @@ class MergeSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("gc: merged-away batch dirs are deleted, post-merge queries unaffected") {
+    postMeta // ensure merge happened (all pre-merge batches now dead)
+    val deleted = Manifest.gc(indexDir)
+    assert(deleted.nonEmpty, "expected the pre-merge batch=0 dirs to be collected")
+    assert(deleted.forall(_.contains("batch=0")))
+    // a fresh reader over the GC'd index still answers identically
+    val fresh = new Searcher(spark, indexDir)
+    val merged = fresh.topDocs(TermQ(hotTerm), 10).toSeq
+    assert(merged.map(h => (h.segId, h.docId)) == preTop("term").map(remap))
+  }
+
   test("log merge policy: levels and min_num_segments (log_merge_policy.rs:94-130)") {
     val policy = Merger.LogMergePolicy(minNumSegments = 3, minLayerSize = 10)
     def seg(id: Int, rows: Long) = SegmentMeta(id, 0, rows, 0, 0, 0, sha256ok = true)
