@@ -222,36 +222,33 @@ object IndexBuilder {
           .withColumn("sha256", sha2(col("content"), 256))
           .withColumn("contentLen", length(col("content")))
 
-        // ONE tokenize pass per batch: `analyzed` feeds stats, docmap token
-        // counts, and the postings shuffle. Persisted (memory, spill to
-        // disk) for the batch's lifetime — the batch is the unit sized to
-        // fit the cluster, exactly the reference's memory-budgeted segment
-        // cut (`index_writer.rs:27-31`) with Spark doing the spilling.
-        val withPos = cfg.withPositions
-        val analyzed: Dataset[DocTermRow] = base
-          .select($"segId", $"docId", $"content").as[(Int, Int, String)]
-          .flatMap { case (s, d, c) => perDocTerms(s, d, c, withPos) }
-          // serialized storage: the analyzed rows are short-lived bulk data;
-          // deserialized on-heap caching makes the GC scan tens of millions
-          // of small objects and collapses scaling past ~8 cores
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-
-        // fieldnorm = post-filter token count = sum(tf) per doc
-        val tokenCounts = analyzed.groupBy($"segId", $"docId")
-          .agg(sum($"tf").as("tokenCount"))
+        // Tokenization runs TWICE (docmap fieldnorms inline, postings
+        // flatMap below) instead of once-plus-cache: a persisted
+        // intermediate of ~100 analyzed rows per doc costs a full
+        // serialize+write+read of the bulk data through shared cache/GC
+        // bandwidth, which is what stops scaling past ~8 cores; a second
+        // tokenize pass is pure per-core CPU and scales at the hardware
+        // ceiling. (The reference pays the arena instead —
+        // `segment_writer.rs:146-348`; Spark's equivalent currency is a
+        // recompute.)
+        val tokenCountU = udf((c: String) => Analysis.defaultTerms(c).length.toLong)
 
         // docmap doubles as the docstore (`src/store/`): `content` is the
         // stored field, read only when hydrating hits / MoreLikeThis
         // (Parquet is columnar, so queries that don't project it never
         // touch those pages).
         val docmap = base
-          .join(tokenCounts, Seq("segId", "docId"), "left")
-          .withColumn("tokenCount", coalesce($"tokenCount", lit(0L)))
+          .withColumn("tokenCount", tokenCountU($"content"))
           .withColumn("normId", fieldnormToIdUdf($"tokenCount"))
           .select($"segId", $"docId", $"repo", $"path", $"commit", $"lang",
             $"sha256", $"normId", $"tokenCount", $"contentLen", $"content")
         docmap.write.mode("overwrite").parquet(s"$indexDir/docmap/batch=$b")
-        phase("docmap write (analyze+window+persist)")
+        phase("docmap write (analyze+window)")
+
+        val withPos = cfg.withPositions
+        val analyzed: Dataset[DocTermRow] = base
+          .select($"segId", $"docId", $"content").as[(Int, Int, String)]
+          .flatMap { case (s, d, c) => perDocTerms(s, d, c, withPos) }
 
         val docmapW = spark.read.parquet(s"$indexDir/docmap/batch=$b")
 
@@ -266,6 +263,21 @@ object IndexBuilder {
           .write.mode("overwrite").parquet(s"$indexDir/stats/batch=$b")
         phase("stats")
 
+        // The sha256 verification is an independent job (reads the written
+        // docmap + the source; touches neither postings nor termdict), so it
+        // runs CONCURRENTLY with the long postings job below — Spark's
+        // scheduler interleaves the two fairly and the verify pass hides
+        // entirely inside the postings wall time instead of adding a serial
+        // stage at the end.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val shaF: Future[Boolean] = Future {
+          docmapW.select($"repo", $"path", $"commit", $"sha256")
+            .join(batchDocs.select($"repo", $"path", $"commit",
+              sha2($"content", 256).as("srcSha")), Seq("repo", "path", "commit"))
+            .where($"sha256" =!= $"srcSha").count() == 0L
+        }
+
         // postings: normId rides in DocTermRow (no docmap join), shuffle to
         // (segId, term), sort, streaming 128-doc block assembly
         val field = cfg.field; val blockSize = cfg.blockSize
@@ -277,7 +289,6 @@ object IndexBuilder {
           .sortWithinPartitions($"segId", $"term", $"docId")
           .mapPartitions(rows => buildBlocks(rows, avgFnB.value, field, blockSize))
         blocks.write.mode("overwrite").parquet(s"$indexDir/postings/batch=$b")
-        analyzed.unpersist()
         phase("postings shuffle+write")
 
         // term dictionary from the written blocks (128x smaller than postings)
@@ -288,18 +299,12 @@ object IndexBuilder {
           .write.mode("overwrite").parquet(s"$indexDir/termdict/batch=$b")
         phase("termdict")
 
-        // per-row sha256 verification: re-read what we wrote, compare to source
-        val mismatches = docmapW.select($"repo", $"path", $"commit", $"sha256")
-          .join(batchDocs.select($"repo", $"path", $"commit",
-            sha2($"content", 256).as("srcSha")), Seq("repo", "path", "commit"))
-          .where($"sha256" =!= $"srcSha").count()
-        val shaOk = mismatches == 0L
-        phase("sha256 verify")
-
         val termCounts = spark.read.parquet(s"$indexDir/termdict/batch=$b")
           .groupBy($"segId").agg(count(lit(1)).as("terms"))
           .as[(Int, Long)].collect().toMap
         phase("termCounts collect")
+        val shaOk = Await.result(shaF, scala.concurrent.duration.Duration.Inf)
+        phase("sha256 verify join")
         val wallMs = (System.nanoTime() - t0) / 1000000
         statsRows.map(s => SegmentMeta(s.segId, b, s.numDocs,
           s.totalNumTokens, termCounts.getOrElse(s.segId, 0L), wallMs, shaOk)).toSeq
