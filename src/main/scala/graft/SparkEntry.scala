@@ -131,6 +131,24 @@ object SparkEntry {
       Engine.docIds(Engine.searcher(s, dir),
         QueryParser.parse("+spark merge -join"))),
 
+    // TopDocs offset (`top_collector.rs:102-122`): offset applied AFTER the
+    // global merge — rows k..k+offset of the same total order
+    "ft_topk_offset" -> ((s, dir) =>
+      Engine.topKShouldF64(Engine.searcher(s, dir), Seq("spark", "merge"), 25)
+        .offset(5)),
+    // ConstScoreQuery (`const_score_query.rs:12-95`): child scores replaced
+    "ft_const_score" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      sr.compile(ConstScoreQ(TermQ("vector"), 2.5f))
+        .join(sr.docmap.select(col("segId"), col("docId"), col("path")), Seq("segId", "docId"))
+        .select(col("path").cast("long").as("doc_id"),
+          col("score").cast("double").as("score"))
+        .orderBy("doc_id")
+    },
+    // EmptyQuery (`empty_query.rs:12`): matches nothing, schema preserved
+    "ft_empty" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), EmptyQ)),
+
     // ---- collectors ----
     "ft_count" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
@@ -227,6 +245,13 @@ object SparkEntry {
         .groupBy(expr(
           "CASE WHEN value < 25e0 THEN 'lo' WHEN value < 50e0 THEN 'mid' " +
           "WHEN value < 75e0 THEN 'hi' ELSE 'top' END").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+    // ES histogram with interval + offset (`bucket/histogram/histogram.rs`):
+    // bucket key = floor((x - offset) / interval) * interval + offset
+    "agg_histogram" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy((floor((col("value") - 2.5) / 10.0) * 10.0 + 2.5).as("bucket"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")),
     "agg_date_histogram" -> ((s, dir) =>
@@ -375,6 +400,18 @@ object SparkEntry {
          |SELECT doc_id, round(sum(sc * CASE t WHEN 'spark' THEN 2e0 ELSE 1e0 END), 6) AS score
          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    "ft_topk_offset" ->
+      s"""WITH ${bmCtes(Seq("spark", "merge"))}
+         |SELECT doc_id, round(sum(sc), 6) AS score FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20 OFFSET 5""".stripMargin,
+    "ft_const_score" ->
+      s"""WITH $tokCte SELECT DISTINCT doc_id, 2.5e0 AS score FROM tok
+         |WHERE t = 'vector' ORDER BY doc_id""".stripMargin,
+    "ft_empty" ->
+      "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0",
+    "agg_histogram" ->
+      """SELECT floor((value - 2.5e0) / 10e0) * 10e0 + 2.5e0 AS bucket, count(*) AS cnt
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ft_term_docs" ->
       s"WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t = 'vector' ORDER BY doc_id",
     "ft_bool_must" ->

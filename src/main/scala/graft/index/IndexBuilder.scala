@@ -245,12 +245,17 @@ object IndexBuilder {
         docmap.write.mode("overwrite").parquet(s"$indexDir/docmap/batch=$b")
         phase("docmap write (analyze+window)")
 
+        val docmapW = spark.read.parquet(s"$indexDir/docmap/batch=$b")
+
+        // The postings pass reads (segId, docId, content) back from the
+        // just-written docmap (the docstore) instead of branching off `base`:
+        // re-deriving docIds would repeat the window's full shuffle+sort of
+        // the bulk content — the docmap files already hold the assignment,
+        // and a columnar re-read is a narrow scan with no shuffle.
         val withPos = cfg.withPositions
-        val analyzed: Dataset[DocTermRow] = base
+        val analyzed: Dataset[DocTermRow] = docmapW
           .select($"segId", $"docId", $"content").as[(Int, Int, String)]
           .flatMap { case (s, d, c) => perDocTerms(s, d, c, withPos) }
-
-        val docmapW = spark.read.parquet(s"$indexDir/docmap/batch=$b")
 
         // segment stats (drive both BM25 global stats and the block-max cache)
         val statsRows = docmapW.groupBy($"segId")
