@@ -32,6 +32,9 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      // FAIR scheduling lets the concurrent sha-verify job interleave with
+      // the postings job instead of being FIFO-starved until it finishes
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

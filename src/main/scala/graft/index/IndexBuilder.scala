@@ -270,17 +270,23 @@ object IndexBuilder {
 
         // The sha256 verification is an independent job (reads the written
         // docmap + the source; touches neither postings nor termdict), so it
-        // runs CONCURRENTLY with the long postings job below — Spark's
-        // scheduler interleaves the two fairly and the verify pass hides
-        // entirely inside the postings wall time instead of adding a serial
-        // stage at the end.
+        // runs CONCURRENTLY with the long postings job below and hides inside
+        // its wall time. It compares an ORDER-INDEPENDENT multiset checksum —
+        // bit_xor of xxhash64(repo, path, commit, sha256) plus row count — on
+        // both sides instead of a row-by-row shuffle join: the primary key is
+        // unique, so equal (count, xor-of-hashes) certifies the row multisets
+        // are equal (w.h.p.), i.e. every indexed row's content sha256 matches
+        // its source row; and a pure scan+partial-agg has no shuffle to steal
+        // cores from the postings job (the join was measured as a flat ~15 s
+        // non-scaling tail at every parallelism level).
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
+        def rowCheck(df: DataFrame, shaCol: org.apache.spark.sql.Column): (Long, Long) =
+          df.select(xxhash64($"repo", $"path", $"commit", shaCol).as("h"))
+            .agg(expr("bit_xor(h)"), count(lit(1))).as[(Long, Long)].head()
         val shaF: Future[Boolean] = Future {
-          docmapW.select($"repo", $"path", $"commit", $"sha256")
-            .join(batchDocs.select($"repo", $"path", $"commit",
-              sha2($"content", 256).as("srcSha")), Seq("repo", "path", "commit"))
-            .where($"sha256" =!= $"srcSha").count() == 0L
+          rowCheck(docmapW, $"sha256") ==
+            rowCheck(batchDocs, sha2($"content", 256))
         }
 
         // postings: normId rides in DocTermRow (no docmap join), shuffle to
