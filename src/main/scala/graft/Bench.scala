@@ -98,11 +98,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // 2.4M docs: the build has ~20 s of unavoidable per-run serial cost
-    // (driver plan/schedule/commit across 5 jobs); the corpus must be large
-    // enough that the parallel fraction dominates at the 4N level, or the
-    // measurement reports Amdahl on the harness rather than the engine.
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2400000").toLong
+    // 3.6M docs: the build has ~30 s of unavoidable per-run serial cost
+    // (driver plan/schedule/commit across 5 jobs plus last-wave stragglers);
+    // the corpus must be large enough that the parallel fraction dominates
+    // at the 4N level, or the measurement reports Amdahl on the harness
+    // rather than the engine. (Amdahl fit at 2.4M: W=1164 core-s, c=30 s.)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3600000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     // N vs 4N parallelism pair. Default 4/16, NOT 8/32: the sandbox's 32
     // vCPUs are 16 physical cores x 2 hyperthreads, and a pure-CPU control
