@@ -139,6 +139,9 @@ object Bench {
 
     // ---- phase B: query latency over the sfDir documents index
     val spark = session(32)
+    // per-query shuffles move kilobytes; at interactive latency the task
+    // count IS the cost, so shrink the reduce side for the query phases
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     val sr = Engine.searcher(spark, sfDir)
     // warm the cached segment tables once
     sr.postings.count(); sr.docmap.count(); sr.termdict.count()
@@ -170,12 +173,39 @@ object Bench {
     val sortedAll = all.sorted
     val p50 = if (sortedAll.nonEmpty) sortedAll(sortedAll.length / 2) else 0.0
     val p95 = if (sortedAll.nonEmpty) sortedAll((sortedAll.length * 95) / 100 min (sortedAll.length - 1)) else 0.0
+
+    // ---- phase C: the search-benchmark-game query set (bench/queries.txt)
+    // over a CorpusGen index WITH positions (phrases need them) — the
+    // north-rule latency metric is "p50 over the query set on the
+    // source-code corpus", not the sfDir documents table.
+    val qsDocs = sys.env.getOrElse("SPARK_GRAFT_QS_DOCS", "600000").toLong
+    val qsIdx = s"/dev/shm/graft-bench/qsidx-$qsDocs"
+    if (!graft.index.Manifest.exists(qsIdx)) {
+      val qsCorpus = new java.io.File(s"/dev/shm/graft-bench/corpus-$qsDocs.parquet")
+      if (!qsCorpus.exists())
+        graft.bench.CorpusGen.corpus(spark, qsDocs, partitions = 128)
+          .write.mode("overwrite").parquet(qsCorpus.toString)
+      IndexBuilder.build(spark, spark.read.parquet(qsCorpus.toString), qsIdx,
+        IndexConfig(numSegments = 32, withPositions = true))
+    }
+    val qsr = new Searcher(spark, qsIdx)
+    qsr.postings.count(); qsr.docmap.count(); qsr.termdict.count()
+    val entries = graft.bench.QuerySet.generate()
+    entries.foreach(e => graft.bench.QuerySet.run(qsr, e)) // warmup pass
+    val qsLat = (for (_ <- 1 to 3; e <- entries) yield {
+      val t0 = System.nanoTime()
+      graft.bench.QuerySet.run(qsr, e)
+      (System.nanoTime() - t0) / 1e6
+    }).sorted
+    val qsP50 = qsLat(qsLat.length / 2)
+    val qsP95 = qsLat((qsLat.length * 95) / 100 min (qsLat.length - 1))
+    log(f"query set (${entries.length} queries x 3): p50 $qsP50%.0f ms, p95 $qsP95%.0f ms")
     spark.stop()
 
     val total = perQuery.values.sum
     val qjson = perQuery.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"headline query set (sec) + build scaling","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus_low":$cpusLo,"cpus_high":$cpusHi,"build_files_per_sec_n":$fpsLo%.1f,"build_files_per_sec_4n":$fpsHi%.1f,"scaling_efficiency":$efficiency%.3f,"p50_query_ms":$p50%.1f,"p95_query_ms":$p95%.1f,"bench_docs":$nDocs}""")
+      f"""{"metric":"headline query set (sec) + build scaling","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus_low":$cpusLo,"cpus_high":$cpusHi,"build_files_per_sec_n":$fpsLo%.1f,"build_files_per_sec_4n":$fpsHi%.1f,"scaling_efficiency":$efficiency%.3f,"p50_query_ms":$p50%.1f,"p95_query_ms":$p95%.1f,"qs_p50_ms":$qsP50%.1f,"qs_p95_ms":$qsP95%.1f,"qs_n":${entries.length},"qs_docs":$qsDocs,"bench_docs":$nDocs}""")
   }
 }

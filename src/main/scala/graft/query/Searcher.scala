@@ -43,8 +43,13 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     */
   lazy val postings: DataFrame = pin(spark.read.parquet(s"$indexDir/postings"))
   lazy val docmap: DataFrame = pin(spark.read.parquet(s"$indexDir/docmap"))
-  lazy val termdict: DataFrame = pin(spark.read.parquet(s"$indexDir/termdict")).cache()
-  lazy val statsDf: DataFrame = pin(spark.read.parquet(s"$indexDir/stats")).cache()
+  // coalesced before caching: the cached partition count is the task count
+  // of every per-query metadata lookup, and a df lookup over 100+ cached
+  // partitions costs more in task launches than in work
+  lazy val termdict: DataFrame =
+    pin(spark.read.parquet(s"$indexDir/termdict")).coalesce(8).cache()
+  lazy val statsDf: DataFrame =
+    pin(spark.read.parquet(s"$indexDir/stats")).coalesce(1).cache()
 
   /** Index-global statistics (`bm25.rs:25-48`): totals summed over segments. */
   /** Delete tombstones (`segment.<opstamp>.del` analog): an optional
@@ -65,20 +70,42 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
   }
   lazy val avgFieldnorm: Float = Bm25.averageFieldnorm(totalNumTokens, totalNumDocs)
 
-  /** Global doc_freq per term: per-segment df summed (`bm25.rs:45-48`). */
+  /** Global doc_freq per term: per-segment df summed (`bm25.rs:45-48`).
+    * The per-segment rows are collected and summed on the driver — one
+    * single-stage job over the coalesced cached termdict instead of a
+    * groupBy's two-stage shuffle; the result is ≤ (#segments × #terms) tiny
+    * rows regardless of index size.
+    */
+  private val dfCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def docFreqs(terms: Seq[String]): Map[String, Long] = {
     if (terms.isEmpty) return Map.empty
-    termdict.where($"field" === field && $"term".isin(terms: _*))
-      .groupBy($"term").agg(sum($"docFreq").as("df"))
-      .as[(String, Long)].collect().toMap
-  }
-
-  def weightsFor(terms: Seq[String]): Map[String, Bm25.Weight] = {
-    val dfs = docFreqs(terms)
+    // the Searcher pins an immutable manifest snapshot, so a term's global
+    // df can never change under it — cache resolved dfs on the driver (the
+    // reference's analog is the mmap'd term dictionary: a repeat df lookup
+    // costs nanoseconds there and must not cost a Spark job here). A term
+    // absent from the index is cached as df 0 and filtered from the result.
+    val missing = terms.distinct.filterNot(dfCache.contains)
+    if (missing.nonEmpty) {
+      val fetched = termdict
+        .where($"field" === field && $"term".isin(missing: _*))
+        .select($"term", $"docFreq")
+        .as[(String, Long)].collect()
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      missing.foreach(t => dfCache.put(t, fetched.getOrElse(t, 0L)))
+    }
     terms.distinct.flatMap { t =>
-      dfs.get(t).map(df => t -> Bm25.forOneTerm(df, totalNumDocs, avgFieldnorm))
+      val df = dfCache(t)
+      if (df > 0) Some(t -> df) else None
     }.toMap
   }
+
+  def weightsFor(terms: Seq[String]): Map[String, Bm25.Weight] =
+    weightsFromDfs(docFreqs(terms))
+
+  /** Build weights from an already-fetched df map (no extra Spark job). */
+  def weightsFromDfs(dfs: Map[String, Long]): Map[String, Bm25.Weight] =
+    dfs.map { case (t, df) => t -> Bm25.forOneTerm(df, totalNumDocs, avgFieldnorm) }
 
   /** Exploded scored postings for a set of terms, one scan, partition/
     * row-group pruned by the `term` predicate:
@@ -279,6 +306,34 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     val minShould = if (numMusts > 0) 0 else math.max(b.minShouldMatch, 1)
 
     val allTermLeaves = positives.forall(_._2.isInstanceOf[TermQ])
+
+    // Pure conjunction of terms -> cost-ordered intersection
+    // (`intersection.rs:26,81`): chained equi-joins rarest-term-first, so
+    // docs missing the rarest term are dropped before any wide shuffle.
+    // Score = sum of clause scores in clause order (`score_combiner.rs:39`).
+    if (allTermLeaves && numMusts == positives.length) {
+      val clauseTerms = positives.map(_._2.asInstanceOf[TermQ].term)
+      val dfs = docFreqs(clauseTerms.distinct)
+      if (clauseTerms.distinct.exists(t => !dfs.contains(t)))
+        return spark.emptyDataset[ScoredDoc]
+      val ordered = clauseTerms.distinct.sortBy(t => (dfs(t), t))
+      def frame(t: String, i: Int): DataFrame =
+        scoredTermDocs(Seq(t)).select($"segId", $"docId", $"score".as(s"sc$i"))
+      var joined = frame(ordered.head, 0)
+      for ((t, i) <- ordered.tail.zipWithIndex)
+        joined = joined.join(frame(t, i + 1), Seq("segId", "docId"))
+      val scIdx: Map[String, Int] = ordered.zipWithIndex.toMap
+      val sumCol = clauseTerms.map(t => col(s"sc${scIdx(t)}")).reduceLeft(_ + _)
+      val positive = joined
+        .select($"segId", $"docId", sumCol.as("score")).as[ScoredDoc]
+      return (if (negatives.isEmpty) positive
+      else {
+        val neg = negatives.map(compileRaw).reduceLeft(_ union _)
+          .select($"segId", $"docId").distinct()
+        positive.join(neg, Seq("segId", "docId"), "left_anti").as[ScoredDoc]
+      })
+    }
+
     val tagged: Dataset[(Int, Int, Int, Boolean, Float)] =
       if (allTermLeaves) {
         val metas = positives.zipWithIndex.map { case ((occ, TermQ(t)), i) =>
@@ -317,6 +372,13 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     * containing all terms with positions satisfying the relative offsets
     * (slop 0 = exact adjacency); phrase occurrence count is the tf fed to the
     * multi-term BM25 weight (summed idf, `bm25.rs:115-123`).
+    *
+    * Execution is INTERSECTION-FIRST like the reference's positions-aware
+    * Intersection scorer (`intersection.rs:26,81` cost-sorts so the rarest
+    * term drives): one pruned scan per distinct term, chained inner joins on
+    * (segId, docId) in ascending-docFreq order, positions evaluated only for
+    * docs in the full intersection — a doc containing just the hot term of a
+    * phrase never ships its positions anywhere.
     */
   private def compilePhrase(p: PhraseQ): Dataset[ScoredDoc] = {
     // the reference errors when positions were not indexed
@@ -327,50 +389,117 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     val dfs = docFreqs(terms.distinct)
     if (terms.distinct.exists(t => !dfs.contains(t))) return spark.emptyDataset[ScoredDoc]
     val weight = Bm25.forTerms(terms.map(dfs), totalNumDocs, avgFieldnorm)
-    val offsets = p.terms.map(_._1)
-    val nTerms = p.terms.length
-    val termIdx: Map[String, Seq[Int]] =
-      p.terms.zipWithIndex.groupBy(_._1._2).map { case (t, xs) => t -> xs.map(_._2) }
+    val offsets = p.terms.map(_._1).toArray
     val slop = p.slop
 
-    val rows = postings
-      .where($"field" === field && $"term".isin(terms.distinct: _*))
-      .select($"segId", $"term",
-        explode(arrays_zip($"docIds", $"normIds", $"positions")).as("p"))
-      .select($"segId", $"term", $"p.docIds".as("docId"),
-        $"p.normIds".as("normId"), $"p.positions".as("positions"))
-      .as[(Int, String, Int, Int, Array[Int])]
-
-    rows.groupByKey(r => (r._1, r._3)).flatMapGroups { (key, it) =>
-      val byIdx = new Array[Array[Int]](nTerms)
-      var normId = 0
-      it.foreach { case (_, term, _, n, pos) =>
-        normId = n
-        termIdx.getOrElse(term, Seq.empty).foreach(i => byIdx(i) = pos)
-      }
-      if (byIdx.exists(_ == null)) Iterator.empty
-      else {
-        val count = PhraseMatcher.phraseCount(offsets.toArray, byIdx, slop)
-        if (count > 0)
-          Iterator.single(ScoredDoc(key._1, key._2, weight.score(normId, count)))
-        else Iterator.empty
-      }
+    val ordered = terms.distinct.sortBy(t => (dfs(t), t))
+    def frame(t: String, i: Int): DataFrame = {
+      val base = postings
+        .where($"field" === field && $"term" === t)
+        .select($"segId",
+          explode(arrays_zip($"docIds", $"normIds", $"positions")).as("p"))
+      if (i == 0)
+        base.select($"segId", $"p.docIds".as("docId"),
+          $"p.normIds".as("normId"), $"p.positions".as(s"pos$i"))
+      else
+        base.select($"segId", $"p.docIds".as("docId"), $"p.positions".as(s"pos$i"))
     }
+    var joined = frame(ordered.head, 0)
+    for ((t, i) <- ordered.tail.zipWithIndex)
+      joined = joined.join(frame(t, i + 1), Seq("segId", "docId"))
+
+    val posIdx: Map[String, Int] = ordered.zipWithIndex.toMap
+    val slotCols = p.terms.map { case (_, t) => col(s"pos${posIdx(t)}") }
+    val countU = udf((slots: Seq[Seq[Int]]) =>
+      PhraseMatcher.phraseCount(offsets, slots.map(_.toArray).toArray, slop))
+    val scoreU = udf((normId: Int, cnt: Int) => weight.score(normId, cnt.toLong))
+    joined
+      .withColumn("cnt", countU(array(slotCols: _*)))
+      .where($"cnt" > 0)
+      .select($"segId", $"docId", scoreU($"normId", $"cnt").as("score"))
+      .as[ScoredDoc]
   }
 
   // ---------- collectors ----------
 
+  /** Pure all-Must all-TermQ conjunction — the shape the leapfrog executor
+    * specializes (fast path only valid with no tombstones pinned, since
+    * `Intersect` reads postings directly).
+    */
+  private def pureMustTerms(q: Query): Option[Seq[String]] = q match {
+    case BoolQ(cs, _) if cs.nonEmpty && cs.forall {
+        case (o, s) => o == Occur.Must && s.isInstanceOf[TermQ] } =>
+      Some(cs.map(_._2.asInstanceOf[TermQ].term))
+    case _ => None
+  }
+
+  private def fastPathEligible: Boolean = deletesDf.isEmpty
+
   /** TopDocs collector (`top_collector.rs:45-61,102-122`): global top-k by
     * (score desc, segId asc, docId asc), offset skipped after the merge.
+    * Pure conjunctions and phrases route through the per-segment leapfrog
+    * executor (`Intersect`), everything else through the Dataset pipeline.
     */
-  def topDocs(q: Query, k: Int, offset: Int = 0): Array[Hit] =
-    compile(q)
-      .orderBy(desc("score"), asc("segId"), asc("docId"))
-      .limit(k + offset)
-      .as[ScoredDoc].collect().drop(offset).map(s => Hit(s.segId, s.docId, s.score))
+  def topDocs(q: Query, k: Int, offset: Int = 0): Array[Hit] = q match {
+    case p: PhraseQ if fastPathEligible =>
+      Intersect.topKPhrase(this, p, k + offset)._1.drop(offset)
+    case _ if fastPathEligible && pureMustTerms(q).isDefined =>
+      Intersect.topKMust(this, pureMustTerms(q).get, k + offset)._1.drop(offset)
+    case _ =>
+      compile(q)
+        .orderBy(desc("score"), asc("segId"), asc("docId"))
+        .limit(k + offset)
+        .as[ScoredDoc].collect().drop(offset).map(s => Hit(s.segId, s.docId, s.score))
+  }
 
   /** Count collector (`count_collector.rs:36-61`). */
-  def count(q: Query): Long = compile(q).count()
+  def count(q: Query): Long = q match {
+    case p: PhraseQ if fastPathEligible => Intersect.topKPhrase(this, p, 1)._2
+    case _ if fastPathEligible && pureMustTerms(q).isDefined =>
+      Intersect.topKMust(this, pureMustTerms(q).get, 1)._2
+    case _ => compile(q).count()
+  }
+
+  /** TopDocs + Count in ONE pass over the matching doc set — the
+    * MultiCollector shape (`multi_collector.rs:166`; the reference's
+    * TOP_10_COUNT command of the search-benchmark-game harness). A count
+    * collector needs every match, so the pruned (WAND) path is off; each
+    * partition folds its matches into a bounded k-heap plus a counter
+    * (SegmentCollector), and the driver merges fruits
+    * (`top_collector.rs:102-122`).
+    */
+  def topDocsWithCount(q: Query, k: Int): (Array[Hit], Long) = q match {
+    case p: PhraseQ if fastPathEligible => Intersect.topKPhrase(this, p, k)
+    case _ if fastPathEligible && pureMustTerms(q).isDefined =>
+      Intersect.topKMust(this, pureMustTerms(q).get, k)
+    case _ => topDocsWithCountGeneric(q, k)
+  }
+
+  private def topDocsWithCountGeneric(q: Query, k: Int): (Array[Hit], Long) = {
+    val partials = compile(q).mapPartitions { it =>
+      var cnt = 0L
+      // dequeues the WORST kept hit first: lowest score, then largest address
+      val heap = scala.collection.mutable.PriorityQueue.empty[ScoredDoc](
+        Ordering.by((s: ScoredDoc) => (-s.score, s.segId, s.docId)))
+      it.foreach { s =>
+        cnt += 1
+        if (heap.size < k) heap.enqueue(s)
+        else {
+          val w = heap.head
+          val better = s.score > w.score ||
+            (s.score == w.score && (s.segId < w.segId ||
+              (s.segId == w.segId && s.docId < w.docId)))
+          if (better) { heap.dequeue(); heap.enqueue(s) }
+        }
+      }
+      Iterator.single((heap.toSeq.map(s => (s.segId, s.docId, s.score)), cnt))
+    }.collect()
+    val hits = partials.flatMap(_._1)
+      .map { case (s, d, sc) => Hit(s, d, sc) }
+      .sortBy(h => (-h.score, h.segId, h.docId))
+      .take(k)
+    (hits, partials.map(_._2).sum)
+  }
 
   /** Top-k for a pure multi-term disjunction through the block-max WAND
     * executor (the reference's pruned path, `block_wand.rs`).
