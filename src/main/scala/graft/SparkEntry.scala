@@ -191,6 +191,21 @@ object SparkEntry {
         .orderBy(desc("n_chars"), asc("doc_id"))
         .limit(15)
     },
+    // custom_score / tweak_score collectors (`custom_score_top_collector.rs:
+    // 77`, `tweak_score_top_collector.rs:79`): user function of (score,
+    // fast-field) — here BM25 * ln(1 + n_chars), any Column expr works
+    "ft_tweak_score" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      val base = Engine.termScoresF64(sr, Seq("spark"))
+        .groupBy("doc_id").agg(sum("sc").as("bm25"))
+      val lens = sr.docmap.select(col("path").cast("long").as("doc_id"),
+        col("contentLen").as("n_chars"))
+      base.join(lens, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(col("bm25") * log(lit(1.0) + col("n_chars")), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(15)
+    },
     // WAND path (f32 tantivy-parity scores; parity vs the exact path is
     // enforced in the ScalaTest suite — f32 is not DuckDB-expressible, so
     // this entry gets the driver's rows-only check)
@@ -400,6 +415,12 @@ object SparkEntry {
          |SELECT doc_id, round(sum(sc * CASE t WHEN 'spark' THEN 2e0 ELSE 1e0 END), 6) AS score
          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    "ft_tweak_score" ->
+      s"""WITH ${bmCtes(Seq("spark"))},
+         |b AS (SELECT doc_id, sum(sc) AS bm25 FROM sc GROUP BY doc_id)
+         |SELECT doc_id, round(bm25 * ln(1e0 + n_chars), 6) AS score
+         |FROM b JOIN documents USING (doc_id)
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "ft_topk_offset" ->
       s"""WITH ${bmCtes(Seq("spark", "merge"))}
          |SELECT doc_id, round(sum(sc), 6) AS score FROM sc GROUP BY doc_id
