@@ -141,6 +141,16 @@ class EngineE2ESpec extends AnyFunSuite {
     assert(searcher.count(phrase) == naive.count(phrase))
   }
 
+  test("phrase with slop == naive (budgeted displacement, leapfrog fast path)") {
+    // a (w0, w2) pair at distance 2 exists in any 400-doc corpus line
+    val d = naive.docs.find(_.tokens.length >= 3).get
+    val q = PhraseQ(Seq(0 -> d.tokens(0), 1 -> d.tokens(2)), slop = 1)
+    val oracle = naive.topDocs(q, 10)
+    assert(oracle.nonEmpty)
+    assertSame(searcher.topDocs(q, 10).toSeq, oracle, "phrase-slop")
+    assert(searcher.count(q) == naive.count(q))
+  }
+
   test("boost / const / dismax == naive") {
     val b = BoostQ(TermQ(hotTerm), 2.5f)
     assertSame(searcher.topDocs(b, 10).toSeq, naive.topDocs(b, 10), "boost")
