@@ -454,6 +454,10 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
 
   /** Count collector (`count_collector.rs:36-61`). */
   def count(q: Query): Long = q match {
+    // a term's hit count IS its doc_freq when no tombstones are pinned —
+    // the term dictionary answers without touching postings (the reference's
+    // specialized term count reads the same TermInfo)
+    case TermQ(t) if fastPathEligible => docFreqs(Seq(t)).getOrElse(t, 0L)
     case p: PhraseQ if fastPathEligible => Intersect.topKPhrase(this, p, 1)._2
     case _ if fastPathEligible && pureMustTerms(q).isDefined =>
       Intersect.topKMust(this, pureMustTerms(q).get, 1)._2

@@ -259,6 +259,40 @@ object Wand {
     val weights = searcher.weightsFor(terms)
     if (weights.isEmpty || k <= 0) return Array.empty
     val present = terms.distinct.filter(weights.contains).sorted
+
+    // Single-term specialization with ZERO shuffle: per-doc scoring makes a
+    // term's top-k decomposable over ANY partition of its posting list
+    // (chunk top-ks ∪-merge to the global top-k), so each scan partition
+    // runs `blockWandSingle` over the complete (segId-grouped) block runs it
+    // holds and ships only its k best. One stage, pruned scan, driver merge —
+    // the scan IS the reference's skip-capable read; no posting bytes cross
+    // the network beyond k hits per task.
+    if (present.length == 1) {
+      val term = present.head
+      val w = weights(term)
+      val rows = searcher.postings
+        .where(col("field") === searcher.field && col("term") === term)
+        .select($"segId", $"blockId", $"lastDoc", $"maxNormId", $"maxTf",
+          $"docIds", $"tfs", $"normIds")
+        .as[(Int, Int, Int, Int, Int, Array[Int], Array[Int], Array[Int])]
+      val fruits = rows.mapPartitions { it =>
+        val bySeg = scala.collection.mutable.Map.empty[Int,
+          scala.collection.mutable.ArrayBuffer[(Int, Block)]]
+        it.foreach { case (segId, blockId, lastDoc, mN, mT, ds, tfs, ns) =>
+          bySeg.getOrElseUpdate(segId, scala.collection.mutable.ArrayBuffer.empty) +=
+            ((blockId, Block(lastDoc, mN, mT, ds, tfs, ns)))
+        }
+        bySeg.iterator.flatMap { case (segId, blks) =>
+          val scorer = new TermScorer(w, blks.sortBy(_._1).map(_._2).toArray)
+          val topk = new TopK(k, segId)
+          blockWandSingle(scorer, topk.threshold, topk.insert)
+          topk.hits.iterator
+        }.map(h => (h.segId, h.docId, h.score))
+      }.collect()
+      return fruits.map { case (s, d, sc) => Hit(s, d, sc) }
+        .sortBy(h => (-h.score, h.segId, h.docId)).take(k)
+    }
+
     val wB = spark.sparkContext.broadcast(weights)
 
     val rows = searcher.postings
