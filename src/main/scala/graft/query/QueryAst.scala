@@ -111,18 +111,21 @@ final case class DisMaxQ(qs: Seq[Query], tieBreaker: Float = 0.0f) extends Query
 object QueryParser {
   import graft.analysis.Analysis
 
-  private def literal(text: String): Option[Query] = {
+  private def literal(text: String, slop: Int): Option[Query] = {
     val toks = Analysis.defaultAnalyze(text)
     toks.length match {
       case 0 => None
       case 1 => Some(TermQ(toks.head.text))
-      case _ => Some(PhraseQ(toks.map(t => (t.position, t.text))))
+      case _ => Some(PhraseQ(toks.map(t => (t.position, t.text)), slop))
     }
   }
 
   def parse(input: String, conjunctionByDefault: Boolean = false): Query = {
-    val raw = scala.collection.mutable.ArrayBuffer.empty[(Occur, String)]
-    val re = """([+-])?("([^"]*)"|\S+)""".r
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Occur, String, Int)]
+    // quoted phrases accept the grammar's slop suffix `"a b"~2`
+    // (`query-grammar/src/query_grammar.rs` literal parsing, slop in
+    // `user_input_ast.rs:133-139`)
+    val re = """([+-])?("([^"]*)"(~(\d+))?|\S+)""".r
     for (m <- re.findAllMatchIn(input)) {
       val occur = m.group(1) match {
         case "+" => Occur.Must
@@ -130,9 +133,10 @@ object QueryParser {
         case _ => if (conjunctionByDefault) Occur.Must else Occur.Should
       }
       val text = if (m.group(3) != null) m.group(3) else m.group(2)
-      raw += ((occur, text))
+      val slop = if (m.group(5) != null) m.group(5).toInt else 0
+      raw += ((occur, text, slop))
     }
-    val clauses = raw.toSeq.flatMap { case (o, t) => literal(t).map(q => (o, q)) }
+    val clauses = raw.toSeq.flatMap { case (o, t, s) => literal(t, s).map(q => (o, q)) }
     clauses match {
       case Seq() => EmptyQ
       case Seq((Occur.Must, q)) => q

@@ -190,6 +190,10 @@ class EngineE2ESpec extends AnyFunSuite {
     assert(QueryParser.parse(s"+$hotTerm -$midTerm") ==
       BoolQ(Seq(Occur.Must -> TermQ(hotTerm), Occur.MustNot -> TermQ(midTerm))))
     assert(QueryParser.parse("\"a b\"") == PhraseQ(Seq((0, "a"), (1, "b"))))
+    assert(QueryParser.parse("\"a b\"~2") == PhraseQ(Seq((0, "a"), (1, "b")), slop = 2))
+    assert(QueryParser.parse("+x -\"a b\"~1") == BoolQ(Seq(
+      Occur.Must -> TermQ("x"),
+      Occur.MustNot -> PhraseQ(Seq((0, "a"), (1, "b")), slop = 1))))
   }
 
   test("resume: second build reuses checkpoints and yields the identical manifest") {
