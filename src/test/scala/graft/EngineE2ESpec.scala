@@ -201,4 +201,19 @@ class EngineE2ESpec extends AnyFunSuite {
     assert(meta2.segments.map(s => (s.segId, s.batch, s.rows, s.tokens, s.terms)).sorted ==
       meta.segments.map(s => (s.segId, s.batch, s.rows, s.tokens, s.terms)).sorted)
   }
+
+  test("resume after crash in the window between table write and checkpoint") {
+    // simulate a driver death AFTER batch 1's tables landed but BEFORE its
+    // checkpoint was committed: the checkpoint is the only commit point, so
+    // the rebuild must redo the batch (overwrite the orphaned tables) and
+    // land on the identical manifest — the failpoint the reference covers
+    // with its IO fault-injection tests (tests/failpoints/mod.rs)
+    meta // ensure built
+    val ck = graft.index.Manifest.checkpointPath(indexDir, 1, cfg.configHash)
+    java.nio.file.Files.delete(ck)
+    val meta3 = IndexBuilder.build(spark, corpus.toDF(), indexDir, cfg)
+    assert(meta3.segments.map(s => (s.segId, s.batch, s.rows, s.tokens, s.terms)).sorted ==
+      meta.segments.map(s => (s.segId, s.batch, s.rows, s.tokens, s.terms)).sorted)
+    assert(java.nio.file.Files.exists(ck))
+  }
 }
