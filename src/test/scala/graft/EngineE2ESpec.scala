@@ -202,6 +202,26 @@ class EngineE2ESpec extends AnyFunSuite {
       meta.segments.map(s => (s.segId, s.batch, s.rows, s.tokens, s.terms)).sorted)
   }
 
+  test("index content is invariant to input partitioning (parallelism-independence)") {
+    // the scaling benchmark's same-job-same-input claim: segment and docId
+    // assignment are pure functions of the row key, so ANY repartitioning of
+    // the input (local[4], local[32], 1000 executors) builds the identical
+    // index tables
+    meta // ensure reference index built
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-inv").toString
+    IndexBuilder.build(spark, corpus.toDF().repartition(7), dir2, cfg)
+    val s2 = new Searcher(spark, dir2)
+    def docmapKey(s: Searcher) =
+      s.docmap.select($"segId", $"docId", $"sha256", $"normId")
+        .as[(Int, Int, String, Int)].collect().sorted.toSeq
+    def postingsKey(s: Searcher) =
+      s.postings.select($"segId", $"term", $"blockId", $"lastDoc", $"blockLen",
+          $"maxNormId", $"maxTf")
+        .as[(Int, String, Int, Int, Int, Int, Int)].collect().sorted.toSeq
+    assert(docmapKey(s2) == docmapKey(searcher))
+    assert(postingsKey(s2) == postingsKey(searcher))
+  }
+
   test("resume after crash in the window between table write and checkpoint") {
     // simulate a driver death AFTER batch 1's tables landed but BEFORE its
     // checkpoint was committed: the checkpoint is the only commit point, so
