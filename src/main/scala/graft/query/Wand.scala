@@ -253,7 +253,8 @@ object Wand {
   /** Distributed top-k disjunction: one WAND run per segment group, driver
     * merge with (score desc, segId asc, docId asc) (`top_collector.rs:102-122`).
     */
-  def topK(searcher: Searcher, terms: Seq[String], k: Int): Array[Hit] = {
+  def topK(searcher: Searcher, terms: Seq[String], k: Int,
+           probeCutoff: Long = 200000L): Array[Hit] = {
     val spark = searcher.spark
     import spark.implicits._
     val weights = searcher.weightsFor(terms)
@@ -295,11 +296,38 @@ object Wand {
 
     val wB = spark.sparkContext.broadcast(weights)
 
+    // For high-df disjunctions, probe an initial threshold before shuffling:
+    // τ = nextDown(k-th best score of the highest-max-score term alone, via
+    // the zero-shuffle single-term path). A block of term t can only hold a
+    // doc scoring > τ if blockMax_t + Σ_{u≠t} termMax_u > τ, so hopeless
+    // blocks are dropped MAP-SIDE before the shuffle — the distributed
+    // analog of BMW's "skip without decoding". Soundness: every true top-k
+    // doc's full score ≥ its single-term scores, so the true k-th best ≥ θ0;
+    // nextDown keeps θ0-tied docs eligible, preserving the strict-`>`
+    // threshold and (score, docId) tie semantics. The probe costs one extra
+    // job, so it only arms above a df cutoff where shuffle volume dominates.
+    val dfs = searcher.docFreqs(present)
+    var tau = Float.MinValue
+    if (dfs.values.sum > probeCutoff) {
+      val probeTerm = present.maxBy(t => weights(t).maxScore)
+      val probeHits = topK(searcher, Seq(probeTerm), k, probeCutoff)
+      if (probeHits.length == k)
+        tau = java.lang.Math.nextDown(probeHits.last.score)
+    }
+    val sumMax = present.map(weights(_).maxScore).sum
+    val tauB = tau
+
     val rows = searcher.postings
       .where(col("field") === searcher.field && col("term").isin(present: _*))
       .select($"segId", $"term", $"blockId", $"lastDoc",
         $"maxNormId", $"maxTf", $"docIds", $"tfs", $"normIds")
       .as[(Int, String, Int, Int, Int, Int, Array[Int], Array[Int], Array[Int])]
+      .filter { r =>
+        tauB == Float.MinValue || {
+          val w = wB.value(r._2)
+          w.score(r._5, decodeMaxTf(r._6)) + (sumMax - w.maxScore) > tauB
+        }
+      }
 
     val perSegment = rows.groupByKey(_._1).flatMapGroups { (segId, it) =>
       // materialize this segment's blocks per term, ordered by blockId
@@ -314,8 +342,13 @@ object Wand {
         new TermScorer(ws(term), blks.sortBy(_._1).map(_._2).toArray)
       }
       val topk = new TopK(k, segId)
-      if (scorers.length == 1) blockWandSingle(scorers.head, topk.threshold, topk.insert)
-      else if (scorers.nonEmpty) blockWand(scorers, topk.threshold, topk.insert)
+      // pre-seed the probe threshold; the callback keeps it as a floor while
+      // the heap fills (the heap's own threshold is MinValue until k hits)
+      val cb: (Int, Float) => Float = (d, s) => math.max(tauB, topk.insert(d, s))
+      if (scorers.length == 1)
+        blockWandSingle(scorers.head, math.max(tauB, topk.threshold), cb)
+      else if (scorers.nonEmpty)
+        blockWand(scorers, math.max(tauB, topk.threshold), cb)
       topk.hits.iterator
     }
 

@@ -109,6 +109,22 @@ class EngineE2ESpec extends AnyFunSuite {
     assertSame(searcher.topDocs(q, 10).toSeq, oracle, "disj3 exact")
   }
 
+  test("WAND with probe-seeded threshold + map-side block prefilter == naive") {
+    // probeCutoff 0 forces the θ0 probe and block prefilter even on the
+    // small corpus; results must still be rank-identical with f32 scores
+    // within the reference's own nearly-equals bound (scorer-order sums)
+    val ts2 = Seq(hotTerm, midTerm).sorted
+    assertSame(Wand.topK(searcher, ts2, 10, probeCutoff = 0L).toSeq,
+      naive.topDocs(BoolQ(ts2.map(t => Occur.Should -> TermQ(t))), 10), "probe disj2")
+    val ts3 = Seq(hotTerm, hot2, midTerm).sorted
+    val oracle = naive.topDocs(BoolQ(ts3.map(t => Occur.Should -> TermQ(t))), 10)
+    val wand = Wand.topK(searcher, ts3, 10, probeCutoff = 0L).toSeq
+    assert(wand.map(h => (h.segId, h.docId)) == oracle.map(h => (h.segId, h.docId)))
+    wand.zip(oracle).foreach { case (e, o) =>
+      assert(math.abs(e.score - o.score) <= 1e-6f * math.max(math.abs(e.score), math.abs(o.score)))
+    }
+  }
+
   test("conjunction (Must+Must) == naive") {
     val q = BoolQ(Seq(Occur.Must -> TermQ(hotTerm), Occur.Must -> TermQ(midTerm)))
     assertSame(searcher.topDocs(q, 10).toSeq, naive.topDocs(q, 10), "conj")
