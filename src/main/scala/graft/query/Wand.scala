@@ -254,7 +254,7 @@ object Wand {
     * merge with (score desc, segId asc, docId asc) (`top_collector.rs:102-122`).
     */
   def topK(searcher: Searcher, terms: Seq[String], k: Int,
-           probeCutoff: Long = 200000L): Array[Hit] = {
+           probeCutoff: Long = 20000000L): Array[Hit] = {
     val spark = searcher.spark
     import spark.implicits._
     val weights = searcher.weightsFor(terms)
