@@ -188,7 +188,12 @@ object Merger {
         PostingBlock(newSegId, field, key._1, key._2, docs.last, docs.length,
           docs, tfs, norms, mn, mt, rows.map(_._6))
       }
-    blocks.write.mode("overwrite").parquet(s"$indexDir/postings/batch=$newBatch")
+    // term-major local sort + small row groups for stats pruning, matching
+    // the builder's postings layout (see IndexBuilder.PRUNE_BLOCK_BYTES)
+    blocks.sortWithinPartitions($"term", $"blockId")
+      .write.mode("overwrite")
+      .option("parquet.block.size", IndexBuilder.PRUNE_BLOCK_BYTES)
+      .parquet(s"$indexDir/postings/batch=$newBatch")
 
     val postingsW = spark.read.parquet(s"$indexDir/postings/batch=$newBatch")
     postingsW.groupBy($"segId", $"field", $"term")
