@@ -435,6 +435,21 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
 
   private def fastPathEligible: Boolean = deletesDf.isEmpty
 
+  /** Pure multi-term disjunction — the WAND-eligible shape
+    * (`boolean_weight.rs:56-76`: every clause a TermScorer with freqs).
+    */
+  private def pureShouldTerms(q: Query): Option[Seq[String]] = q match {
+    case TermQ(t) => Some(Seq(t))
+    case BoolQ(cs, 1) if cs.nonEmpty && cs.forall {
+        case (o, s) => o == Occur.Should && s.isInstanceOf[TermQ] } =>
+      val ts = cs.map(_._2.asInstanceOf[TermQ].term)
+      // duplicate Should clauses of one term sum that term's score twice
+      // (`SumCombiner`) — the WAND executor scores each term once, so only
+      // the duplicate-free shape routes here
+      if (ts.distinct.length == ts.length) Some(ts) else None
+    case _ => None
+  }
+
   /** TopDocs collector (`top_collector.rs:45-61,102-122`): global top-k by
     * (score desc, segId asc, docId asc), offset skipped after the merge.
     * Pure conjunctions and phrases route through the per-segment leapfrog
@@ -461,6 +476,8 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     case p: PhraseQ if fastPathEligible => Intersect.topKPhrase(this, p, 1)._2
     case _ if fastPathEligible && pureMustTerms(q).isDefined =>
       Intersect.topKMust(this, pureMustTerms(q).get, 1)._2
+    case _ if fastPathEligible && pureShouldTerms(q).isDefined =>
+      Wand.topKWithCount(this, pureShouldTerms(q).get, 1)._2
     case _ => compile(q).count()
   }
 
@@ -476,6 +493,8 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     case p: PhraseQ if fastPathEligible => Intersect.topKPhrase(this, p, k)
     case _ if fastPathEligible && pureMustTerms(q).isDefined =>
       Intersect.topKMust(this, pureMustTerms(q).get, k)
+    case _ if fastPathEligible && pureShouldTerms(q).isDefined =>
+      Wand.topKWithCount(this, pureShouldTerms(q).get, k)
     case _ => topDocsWithCountGeneric(q, k)
   }
 

@@ -255,11 +255,65 @@ object Wand {
     */
   def topK(searcher: Searcher, terms: Seq[String], k: Int,
            probeCutoff: Long = 20000000L): Array[Hit] = {
-    val spark = searcher.spark
-    import spark.implicits._
     val weights = searcher.weightsFor(terms)
     if (weights.isEmpty || k <= 0) return Array.empty
     val present = terms.distinct.filter(weights.contains).sorted
+    topKImpl(searcher, present, weights, k, probeCutoff)
+  }
+
+  /** TOP_10_COUNT for a pure disjunction in ONE pass: the count collector
+    * must see every match (`multi_collector.rs:166`), so the map-side
+    * threshold prefilter stays off, but the union COUNT is computed inside
+    * the same per-segment task that runs the BMW loop — a linear merge over
+    * the already-assembled sorted docId lists — instead of a second
+    * groupBy-shuffle over per-doc rows (measured 300-470 ms -> the cost of
+    * the plain TOP_10 disjunction).
+    */
+  def topKWithCount(searcher: Searcher, terms: Seq[String], k: Int): (Array[Hit], Long) = {
+    val weights = searcher.weightsFor(terms)
+    val present = terms.distinct.filter(weights.contains).sorted
+    if (present.isEmpty || k <= 0) return (Array.empty, 0L)
+    if (present.length == 1) {
+      // union of one term: count IS its global doc_freq (termdict lookup,
+      // no postings touched); hits via the zero-shuffle single-term path
+      val cnt = searcher.docFreqs(present).getOrElse(present.head, 0L)
+      return (topKImpl(searcher, present, weights, k, Long.MaxValue), cnt)
+    }
+    multiTerm(searcher, present, weights, k, tau = Float.MinValue, withCount = true)
+  }
+
+  /** Count of distinct docIds across sorted lists (union cardinality). */
+  def unionCount(lists: Array[Array[Int]]): Long = {
+    val n = lists.length
+    val idx = new Array[Int](n)
+    var cnt = 0L
+    var done = false
+    while (!done) {
+      var min = Int.MaxValue
+      var i = 0
+      while (i < n) {
+        if (idx(i) < lists(i).length && lists(i)(idx(i)) < min) min = lists(i)(idx(i))
+        i += 1
+      }
+      if (min == Int.MaxValue) done = true
+      else {
+        cnt += 1
+        i = 0
+        while (i < n) {
+          if (idx(i) < lists(i).length && lists(i)(idx(i)) == min) idx(i) += 1
+          i += 1
+        }
+      }
+    }
+    cnt
+  }
+
+  private def topKImpl(searcher: Searcher, present: Seq[String],
+                       weights: Map[String, Bm25.Weight], k: Int,
+                       probeCutoff: Long): Array[Hit] = {
+    val spark = searcher.spark
+    import spark.implicits._
+    if (present.isEmpty) return Array.empty
 
     // Single-term specialization with ZERO shuffle: per-doc scoring makes a
     // term's top-k decomposable over ANY partition of its posting list
@@ -314,6 +368,19 @@ object Wand {
       if (probeHits.length == k)
         tau = java.lang.Math.nextDown(probeHits.last.score)
     }
+    multiTerm(searcher, present, weights, k, tau, withCount = false)._1
+  }
+
+  /** The shared multi-term stage: one pruned scan of the query terms'
+    * blocks, one narrow shuffle grouped by segment, per-segment BMW loop
+    * (plus the union count when `withCount`), driver merge.
+    */
+  private def multiTerm(searcher: Searcher, present: Seq[String],
+                        weights: Map[String, Bm25.Weight], k: Int,
+                        tau: Float, withCount: Boolean): (Array[Hit], Long) = {
+    val spark = searcher.spark
+    import spark.implicits._
+    val wB = spark.sparkContext.broadcast(weights)
     val sumMax = present.map(weights(_).maxScore).sum
     val tauB = tau
 
@@ -329,7 +396,7 @@ object Wand {
         }
       }
 
-    val perSegment = rows.groupByKey(_._1).flatMapGroups { (segId, it) =>
+    val fruits = rows.groupByKey(_._1).mapGroups { (segId, it) =>
       // materialize this segment's blocks per term, ordered by blockId
       val byTerm = scala.collection.mutable.Map.empty[String,
         scala.collection.mutable.ArrayBuffer[(Int, Block)]]
@@ -338,9 +405,13 @@ object Wand {
           ((blockId, Block(lastDoc, mN, mT, ds, tfs, ns)))
       }
       val ws = wB.value
-      val scorers = byTerm.toSeq.sortBy(_._1).map { case (term, blks) =>
-        new TermScorer(ws(term), blks.sortBy(_._1).map(_._2).toArray)
-      }
+      val perTerm = byTerm.toSeq.sortBy(_._1)
+        .map { case (term, blks) => (term, blks.sortBy(_._1).map(_._2).toArray) }
+      val cnt =
+        if (withCount)
+          unionCount(perTerm.map(_._2.iterator.flatMap(_.docIds).toArray).toArray)
+        else -1L
+      val scorers = perTerm.map { case (term, blks) => new TermScorer(ws(term), blks) }
       val topk = new TopK(k, segId)
       // pre-seed the probe threshold; the callback keeps it as a floor while
       // the heap fills (the heap's own threshold is MinValue until k hits)
@@ -349,11 +420,12 @@ object Wand {
         blockWandSingle(scorers.head, math.max(tauB, topk.threshold), cb)
       else if (scorers.nonEmpty)
         blockWand(scorers, math.max(tauB, topk.threshold), cb)
-      topk.hits.iterator
-    }
+      (topk.hits.toSeq.map(h => (h.segId, h.docId, h.score)), cnt)
+    }.collect()
 
-    perSegment.collect()
+    val hits = fruits.flatMap(_._1).map { case (s, d, sc) => Hit(s, d, sc) }
       .sortBy(h => (-h.score, h.segId, h.docId))
       .take(k)
+    (hits, if (withCount) fruits.map(_._2).sum else -1L)
   }
 }
