@@ -76,6 +76,68 @@ object Intersect {
       .as[(Int, String, Int, Array[Int], Array[Int], Array[Int], Array[Array[Int]])]
   }
 
+  /** Arm the rare-driven block pruning when the rarest term's postings fit a
+    * broadcast and the other terms dwarf it (shuffle saving is meaningful).
+    */
+  private final val RARE_BROADCAST_MAX_DF: Long = 1L << 16
+
+  /** Per-segment term lists for the leapfrog, as a grouped Dataset whose
+    * tasks see every query term's postings for their segment.
+    *
+    * When the rarest term is small and the others are not, the rarest list
+    * rides a BROADCAST and only blocks of the other terms whose
+    * [firstDoc, lastDoc] span contains one of its docIds are shuffled — the
+    * distributed analog of the cost-ordered leapfrog (`intersection.rs:26,81`:
+    * smallest docset drives, the rest seek to its candidates): a block the
+    * driving list can never visit is dropped map-side before the shuffle. The
+    * intersection is a subset of the rare term's docs, so pruning loses no
+    * matches; the leapfrog's forward-only galloping stays correct over the
+    * gapped lists because it only ever probes for the driver's docIds.
+    */
+  private def mapSegments[R: org.apache.spark.sql.Encoder](
+      searcher: Searcher, ordered: Seq[String], dfs: Map[String, Long],
+      needPositions: Boolean)(f: (Int, Map[String, TermPostings]) => R): Array[R] = {
+    import searcher.spark.implicits._
+    val rare = ordered.head
+    val useBc = ordered.length > 1 && dfs(rare) <= RARE_BROADCAST_MAX_DF &&
+      ordered.tail.map(dfs).sum > 4 * dfs(rare)
+    if (!useBc) {
+      collectSegments(searcher, ordered, needPositions)
+        .groupByKey(_._1)
+        .mapGroups { (segId, it) => f(segId, assemble(it, needPositions)) }
+        .collect()
+    } else {
+      val spark = searcher.spark
+      val rareBySeg: Map[Int, TermPostings] =
+        collectSegments(searcher, Seq(rare), needPositions).collect()
+          .groupBy(_._1)
+          .map { case (s, rows) => s -> assemble(rows.iterator, needPositions)(rare) }
+      val rareB = spark.sparkContext.broadcast(rareBySeg.map {
+        case (s, tp) => s -> (tp.docIds, tp.tfs, tp.normIds, tp.positions) })
+      val rareName = rare
+      val local = collectSegments(searcher, ordered.tail, needPositions)
+        .filter { r =>
+          rareB.value.get(r._1) match {
+            case None => false // rare term absent in segment: empty intersection
+            case Some((docs, _, _, _)) =>
+              val ds = r._4
+              val p = java.util.Arrays.binarySearch(docs, ds(0))
+              val ins = if (p >= 0) p else -p - 1
+              ins < docs.length && docs(ins) <= ds(ds.length - 1)
+          }
+        }
+        .groupByKey(_._1)
+        .mapGroups { (segId, it) =>
+          val (d, t, n, ps) = rareB.value(segId)
+          f(segId, assemble(it, needPositions) + (rareName -> new TermPostings(d, t, n, ps)))
+        }
+        .collect()
+      // segments where the rare term matched but NO other-term block survived
+      // still hold zero intersection docs — nothing to add back
+      local
+    }
+  }
+
   /** Assemble each term's blocks (sorted by blockId) into one TermPostings. */
   private def assemble(
       it: Iterator[(Int, String, Int, Array[Int], Array[Int], Array[Int], Array[Array[Int]])],
@@ -115,9 +177,8 @@ object Intersect {
     val wB = spark.sparkContext.broadcast(ordered.map(weights).toArray)
     val orderedB = spark.sparkContext.broadcast(ordered.toArray)
 
-    val fruits = collectSegments(searcher, distinct, needPositions = false)
-      .groupByKey(_._1).mapGroups { (segId, it) =>
-        val byTerm = assemble(it, needPositions = false)
+    val fruits = mapSegments(searcher, ordered, dfs, needPositions = false) {
+      (segId, byTerm) =>
         val ws = wB.value
         val lists = orderedB.value.map(t =>
           byTerm.getOrElse(t, new TermPostings(Array.empty, Array.empty, Array.empty, Array.empty)))
@@ -137,7 +198,7 @@ object Intersect {
           ()
         }
         (topk.hits.toSeq.map(h => (h.segId, h.docId, h.score)), cnt)
-      }.collect()
+    }
 
     merge(fruits, k)
   }
@@ -164,9 +225,8 @@ object Intersect {
     val orderedB = spark.sparkContext.broadcast(ordered.toArray)
     val weightB = spark.sparkContext.broadcast(weight)
 
-    val fruits = collectSegments(searcher, distinct, needPositions = true)
-      .groupByKey(_._1).mapGroups { (segId, it) =>
-        val byTerm = assemble(it, needPositions = true)
+    val fruits = mapSegments(searcher, ordered, dfs, needPositions = true) {
+      (segId, byTerm) =>
         val lists = orderedB.value.map(t =>
           byTerm.getOrElse(t, new TermPostings(Array.empty, Array.empty, Array.empty, Array.empty)))
         val w = weightB.value
@@ -187,7 +247,7 @@ object Intersect {
           }
         }
         (topk.hits.toSeq.map(h => (h.segId, h.docId, h.score)), cnt)
-      }.collect()
+    }
 
     merge(fruits, k)
   }
