@@ -130,6 +130,14 @@ object SparkEntry {
     "ft_parsed" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
         QueryParser.parse("+spark merge -join"))),
+    // `fulltext_match` Catalyst Expression (SQL-facing surface, SURVEY §4):
+    // analyzer-consistent all-terms-must predicate over RAW content, no
+    // index required — runs inside whole-stage codegen
+    "ft_match_expr" -> { (s, dir) =>
+      graft.functions.FulltextMatch.register(s)
+      s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("graft_docs")
+      s.sql("SELECT doc_id FROM graft_docs WHERE fulltext_match(text, 'Spark MERGE') ORDER BY doc_id")
+    },
 
     // TopDocs offset (`top_collector.rs:102-122`): offset applied AFTER the
     // global merge — rows k..k+offset of the same total order
@@ -492,6 +500,12 @@ object SparkEntry {
     "ft_parsed" ->
       s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t = 'spark'
          |AND doc_id NOT IN (SELECT doc_id FROM tok WHERE t = 'join')
+         |ORDER BY doc_id""".stripMargin,
+    // the query literal 'Spark MERGE' analyzes to {spark, merge} (lowercase)
+    "ft_match_expr" ->
+      s"""WITH $tokCte SELECT doc_id FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM tok WHERE t = 'spark')
+         |  AND doc_id IN (SELECT doc_id FROM tok WHERE t = 'merge')
          |ORDER BY doc_id""".stripMargin,
     "ft_facet_path" ->
       s"""WITH $tokCte, m AS (SELECT DISTINCT doc_id FROM tok WHERE t = 'spark'),
