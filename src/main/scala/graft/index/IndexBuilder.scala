@@ -33,12 +33,15 @@ import graft.score.Bm25
 object IndexBuilder {
 
   /** Parquet row-group size for postings writes. Row groups are the unit of
-    * predicate pruning: with term-major sorted files, a 1 MiB group covers a
+    * predicate pruning: with term-major sorted files, a small group covers a
     * narrow term range, so a term-equality scan skips ~all groups from the
     * footer stats alone instead of decoding the file's whole term column
     * (measured ~400 ms -> ~tens of ms per warm query at 600k docs).
+    * Overridable (system property) because the size trades query pruning
+    * granularity against per-flush write overhead on the build side.
     */
-  final val PRUNE_BLOCK_BYTES: Long = 1L << 20
+  def PRUNE_BLOCK_BYTES: Long =
+    java.lang.Long.getLong("graft.postings.rowgroup.bytes", 1L << 20)
 
   /** Per-doc analysis + local aggregation: one source row is one document, so
     * the (term -> tf, positions) aggregation is exact map-side work with no

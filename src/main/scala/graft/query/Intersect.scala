@@ -23,10 +23,19 @@ import graft.score.Bm25
 object Intersect {
 
   /** One term's postings within one segment, blocks concatenated in docId
-    * order. `positions` is empty when not requested.
+    * order. Positions ride in CSR form — one flat array plus per-doc offsets
+    * — rather than `Array[Array[Int]]`: the nested shape pays a per-inner-
+    * array encoder/serializer cost on the shuffle for every posting of a hot
+    * term, while two primitive arrays copy as blobs. Empty when positions
+    * were not requested.
     */
   final class TermPostings(val docIds: Array[Int], val tfs: Array[Int],
-                           val normIds: Array[Int], val positions: Array[Array[Int]])
+                           val normIds: Array[Int],
+                           val posFlat: Array[Int], val posOffsets: Array[Int]) {
+    /** The i-th posting's positions (CSR slice). */
+    def positionsAt(i: Int): Array[Int] =
+      java.util.Arrays.copyOfRange(posFlat, posOffsets(i), posOffsets(i + 1))
+  }
 
   /** Leapfrog over per-term sorted docId arrays (rarest first = index 0);
     * invokes `onMatch(docId, idxPerTerm)` for every doc present in all lists.
@@ -68,12 +77,19 @@ object Intersect {
     import spark.implicits._
     val base = searcher.postings
       .where($"field" === searcher.field && $"term".isin(distinctTerms: _*))
+    // positions are flattened to CSR (posFlat + per-doc lengths) MAP-SIDE in
+    // the scan select, so the nested array shape never crosses the shuffle
     val withPos =
       if (needPositions) base
-      else base.withColumn("positions", typedLit(Array.empty[Array[Int]]))
+        .select($"segId", $"term", $"blockId", $"docIds", $"tfs", $"normIds",
+          flatten($"positions").as("posFlat"),
+          transform($"positions", p => size(p)).as("posLens"))
+      else base
+        .select($"segId", $"term", $"blockId", $"docIds", $"tfs", $"normIds",
+          typedLit(Array.empty[Int]).as("posFlat"),
+          typedLit(Array.empty[Int]).as("posLens"))
     withPos
-      .select($"segId", $"term", $"blockId", $"docIds", $"tfs", $"normIds", $"positions")
-      .as[(Int, String, Int, Array[Int], Array[Int], Array[Int], Array[Array[Int]])]
+      .as[(Int, String, Int, Array[Int], Array[Int], Array[Int], Array[Int], Array[Int])]
   }
 
   /** Arm the rare-driven block pruning when the rarest term's postings fit a
@@ -113,13 +129,13 @@ object Intersect {
           .groupBy(_._1)
           .map { case (s, rows) => s -> assemble(rows.iterator, needPositions)(rare) }
       val rareB = spark.sparkContext.broadcast(rareBySeg.map {
-        case (s, tp) => s -> (tp.docIds, tp.tfs, tp.normIds, tp.positions) })
+        case (s, tp) => s -> (tp.docIds, tp.tfs, tp.normIds, tp.posFlat, tp.posOffsets) })
       val rareName = rare
       val local = collectSegments(searcher, ordered.tail, needPositions)
         .filter { r =>
           rareB.value.get(r._1) match {
             case None => false // rare term absent in segment: empty intersection
-            case Some((docs, _, _, _)) =>
+            case Some((docs, _, _, _, _)) =>
               val ds = r._4
               val p = java.util.Arrays.binarySearch(docs, ds(0))
               val ins = if (p >= 0) p else -p - 1
@@ -128,8 +144,8 @@ object Intersect {
         }
         .groupByKey(_._1)
         .mapGroups { (segId, it) =>
-          val (d, t, n, ps) = rareB.value(segId)
-          f(segId, assemble(it, needPositions) + (rareName -> new TermPostings(d, t, n, ps)))
+          val (d, t, n, pf, po) = rareB.value(segId)
+          f(segId, assemble(it, needPositions) + (rareName -> new TermPostings(d, t, n, pf, po)))
         }
         .collect()
       // segments where the rare term matched but NO other-term block survived
@@ -138,24 +154,33 @@ object Intersect {
     }
   }
 
-  /** Assemble each term's blocks (sorted by blockId) into one TermPostings. */
+  /** Assemble each term's blocks (sorted by blockId) into one TermPostings;
+    * per-block CSR slices concatenate into one per-term CSR.
+    */
   private def assemble(
-      it: Iterator[(Int, String, Int, Array[Int], Array[Int], Array[Int], Array[Array[Int]])],
+      it: Iterator[(Int, String, Int, Array[Int], Array[Int], Array[Int], Array[Int], Array[Int])],
       needPositions: Boolean): Map[String, TermPostings] = {
     val byTerm = scala.collection.mutable.Map.empty[String,
-      scala.collection.mutable.ArrayBuffer[(Int, Array[Int], Array[Int], Array[Int], Array[Array[Int]])]]
-    it.foreach { case (_, term, blockId, ds, tfs, ns, ps) =>
+      scala.collection.mutable.ArrayBuffer[(Int, Array[Int], Array[Int], Array[Int], Array[Int], Array[Int])]]
+    it.foreach { case (_, term, blockId, ds, tfs, ns, pf, pl) =>
       byTerm.getOrElseUpdate(term, scala.collection.mutable.ArrayBuffer.empty) +=
-        ((blockId, ds, tfs, ns, ps))
+        ((blockId, ds, tfs, ns, pf, pl))
     }
     byTerm.map { case (term, blks) =>
       val sorted = blks.sortBy(_._1)
-      term -> new TermPostings(
-        sorted.iterator.flatMap(_._2).toArray,
-        sorted.iterator.flatMap(_._3).toArray,
-        sorted.iterator.flatMap(_._4).toArray,
-        if (needPositions) sorted.iterator.flatMap(_._5).toArray
-        else Array.empty[Array[Int]])
+      val docIds = sorted.iterator.flatMap(_._2).toArray
+      val tfs = sorted.iterator.flatMap(_._3).toArray
+      val norms = sorted.iterator.flatMap(_._4).toArray
+      if (!needPositions)
+        term -> new TermPostings(docIds, tfs, norms, Array.emptyIntArray, Array.emptyIntArray)
+      else {
+        val flat = sorted.iterator.flatMap(_._5).toArray
+        val lens = sorted.iterator.flatMap(_._6).toArray
+        val offsets = new Array[Int](lens.length + 1)
+        var i = 0
+        while (i < lens.length) { offsets(i + 1) = offsets(i) + lens(i); i += 1 }
+        term -> new TermPostings(docIds, tfs, norms, flat, offsets)
+      }
     }.toMap
   }
 
@@ -181,7 +206,8 @@ object Intersect {
       (segId, byTerm) =>
         val ws = wB.value
         val lists = orderedB.value.map(t =>
-          byTerm.getOrElse(t, new TermPostings(Array.empty, Array.empty, Array.empty, Array.empty)))
+          byTerm.getOrElse(t,
+            new TermPostings(Array.empty, Array.empty, Array.empty, Array.empty, Array.empty)))
         val topk = new Wand.TopK(k, segId)
         var cnt = 0L
         leapfrog(lists) { (doc, idx) =>
@@ -228,7 +254,8 @@ object Intersect {
     val fruits = mapSegments(searcher, ordered, dfs, needPositions = true) {
       (segId, byTerm) =>
         val lists = orderedB.value.map(t =>
-          byTerm.getOrElse(t, new TermPostings(Array.empty, Array.empty, Array.empty, Array.empty)))
+          byTerm.getOrElse(t,
+            new TermPostings(Array.empty, Array.empty, Array.empty, Array.empty, Array.empty)))
         val w = weightB.value
         val topk = new Wand.TopK(k, segId)
         var cnt = 0L
@@ -236,7 +263,7 @@ object Intersect {
         leapfrog(lists) { (doc, idx) =>
           var s = 0
           while (s < slotIdx.length) {
-            slots(s) = lists(slotIdx(s)).positions(idx(slotIdx(s)))
+            slots(s) = lists(slotIdx(s)).positionsAt(idx(slotIdx(s)))
             s += 1
           }
           val c = PhraseMatcher.phraseCount(offsets, slots, slop)

@@ -12,7 +12,7 @@ import graft.query.Intersect.TermPostings
 class LeapfrogSpec extends AnyFunSuite {
 
   private def tp(docIds: Array[Int]): TermPostings =
-    new TermPostings(docIds, docIds.map(_ => 1), docIds.map(_ => 10), Array.empty)
+    new TermPostings(docIds, docIds.map(_ => 1), docIds.map(_ => 10), Array.empty, Array.empty)
 
   private def randomSortedList(rng: scala.util.Random, maxDoc: Int): Array[Int] =
     (0 until maxDoc).filter(_ => rng.nextDouble() < rng.nextDouble()).toArray
