@@ -31,11 +31,7 @@ object Intersect {
     */
   final class TermPostings(val docIds: Array[Int], val tfs: Array[Int],
                            val normIds: Array[Int],
-                           val posFlat: Array[Int], val posOffsets: Array[Int]) {
-    /** The i-th posting's positions (CSR slice). */
-    def positionsAt(i: Int): Array[Int] =
-      java.util.Arrays.copyOfRange(posFlat, posOffsets(i), posOffsets(i + 1))
-  }
+                           val posFlat: Array[Int], val posOffsets: Array[Int])
 
   /** Leapfrog over per-term sorted docId arrays (rarest first = index 0);
     * invokes `onMatch(docId, idxPerTerm)` for every doc present in all lists.
@@ -259,14 +255,18 @@ object Intersect {
         val w = weightB.value
         val topk = new Wand.TopK(k, segId)
         var cnt = 0L
-        val slots = new Array[Array[Int]](slotIdx.length)
+        val flats = new Array[Array[Int]](slotIdx.length)
+        val starts = new Array[Int](slotIdx.length)
+        val ends = new Array[Int](slotIdx.length)
         leapfrog(lists) { (doc, idx) =>
           var s = 0
           while (s < slotIdx.length) {
-            slots(s) = lists(slotIdx(s)).positionsAt(idx(slotIdx(s)))
+            val tp = lists(slotIdx(s)); val i = idx(slotIdx(s))
+            flats(s) = tp.posFlat
+            starts(s) = tp.posOffsets(i); ends(s) = tp.posOffsets(i + 1)
             s += 1
           }
-          val c = PhraseMatcher.phraseCount(offsets, slots, slop)
+          val c = PhraseMatcher.phraseCountCsr(offsets, flats, starts, ends, slop)
           if (c > 0) {
             cnt += 1
             topk.insert(doc, w.score(lists(0).normIds(idx(0)), c.toLong))

@@ -552,16 +552,27 @@ object PhraseMatcher {
     * sum(|d_i|) <= slop (transposition-friendly budget semantics,
     * `phrase_query.rs:68-70`).
     */
-  def phraseCount(offsets: Array[Int], positions: Array[Array[Int]], slop: Int): Int = {
-    val first = positions(0)
+  def phraseCount(offsets: Array[Int], positions: Array[Array[Int]], slop: Int): Int =
+    phraseCountCsr(offsets, positions, new Array[Int](positions.length),
+      positions.map(_.length), slop)
+
+  /** CSR variant: term i's positions are `flats(i)(starts(i) until ends(i))`.
+    * Lets the per-segment phrase executor score each leapfrog match without
+    * materializing a positions array per (doc, term) — on hot phrases that
+    * is tens of thousands of allocations per segment task.
+    */
+  def phraseCountCsr(offsets: Array[Int], flats: Array[Array[Int]],
+                     starts: Array[Int], ends: Array[Int], slop: Int): Int = {
+    val first = flats(0)
     var count = 0
-    var fi = 0
-    while (fi < first.length) {
+    var fi = starts(0)
+    while (fi < ends(0)) {
       val base = first(fi) - offsets(0)
       if (slop == 0) {
         var ok = true; var i = 1
         while (ok && i < offsets.length) {
-          ok = java.util.Arrays.binarySearch(positions(i), base + offsets(i)) >= 0
+          ok = java.util.Arrays.binarySearch(flats(i), starts(i), ends(i),
+            base + offsets(i)) >= 0
           i += 1
         }
         if (ok) count += 1
@@ -570,14 +581,14 @@ object PhraseMatcher {
         while (ok && i < offsets.length) {
           val want = base + offsets(i)
           // nearest occurrence to the wanted position
-          val arr = positions(i)
-          var ins = java.util.Arrays.binarySearch(arr, want)
+          val arr = flats(i)
+          var ins = java.util.Arrays.binarySearch(arr, starts(i), ends(i), want)
           if (ins >= 0) () // exact, costs 0
           else {
             ins = -ins - 1
             var bestD = Int.MaxValue
-            if (ins < arr.length) bestD = math.min(bestD, math.abs(arr(ins) - want))
-            if (ins > 0) bestD = math.min(bestD, math.abs(arr(ins - 1) - want))
+            if (ins < ends(i)) bestD = math.min(bestD, math.abs(arr(ins) - want))
+            if (ins > starts(i)) bestD = math.min(bestD, math.abs(arr(ins - 1) - want))
             budget -= bestD
             if (budget < 0) ok = false
           }
