@@ -54,9 +54,12 @@ object BuildIndex {
     val spark = SparkSession.builder()
       .appName("graft-build")
       .getOrCreate() // master/executors come from spark-submit
+    val t0 = System.nanoTime()
     val meta = run(spark, args)
-    println(s"committed ${meta.segments.size} segments, ${meta.totalRows} rows, " +
-      s"sha256ok=${meta.segments.forall(_.sha256ok)}")
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"committed ${meta.segments.size} segments, ${meta.totalRows} rows, " +
+      f"sha256ok=${meta.segments.forall(_.sha256ok)} in $secs%.1f s " +
+      f"(${meta.totalRows / secs}%.0f files/s)")
     spark.stop()
   }
 }
