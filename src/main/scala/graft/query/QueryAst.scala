@@ -18,9 +18,12 @@ final case class TermQ(term: String) extends Query
 
 /** `src/query/boolean_query/boolean_query.rs` — Occur algebra; score = sum of
   * matching positive sub-scores (`score_combiner.rs:39`). `minShouldMatch`
-  * applies when no Must clause is present (`boolean_weight.rs:101-257`).
+  * default 0 = tantivy's default (`boolean_query.rs:180-194`): with Musts
+  * present Shoulds are optional; with only Shoulds at least one must match.
+  * An EXPLICIT value > 0 is honored even alongside Musts
+  * (`boolean_weight.rs:176-204`, the Required + min-match branch).
   */
-final case class BoolQ(clauses: Seq[(Occur, Query)], minShouldMatch: Int = 1) extends Query
+final case class BoolQ(clauses: Seq[(Occur, Query)], minShouldMatch: Int = 0) extends Query
 
 /** `src/query/phrase_query/phrase_query.rs:23` — all terms at relative
   * positions (offset, term); slop = total budget; the phrase occurrence count

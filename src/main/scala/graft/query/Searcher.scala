@@ -46,8 +46,10 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
   // coalesced before caching: the cached partition count is the task count
   // of every per-query metadata lookup, and a df lookup over 100+ cached
   // partitions costs more in task launches than in work
+  // repartition (not coalesce): coalesce propagates upstream and would
+  // collapse the first materialization scan to 8 tasks on a big termdict
   lazy val termdict: DataFrame =
-    pin(spark.read.parquet(s"$indexDir/termdict")).coalesce(8).cache()
+    pin(spark.read.parquet(s"$indexDir/termdict")).repartition(8).cache()
   lazy val statsDf: DataFrame =
     pin(spark.read.parquet(s"$indexDir/stats")).coalesce(1).cache()
 
@@ -303,7 +305,13 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     val negatives = b.clauses.collect { case (Occur.MustNot, q) => q }
     if (positives.isEmpty) return spark.emptyDataset[ScoredDoc] // MustNot-only matches nothing (boolean_weight.rs:266-269)
     val numMusts = positives.count(_._1 == Occur.Must)
-    val minShould = if (numMusts > 0) 0 else math.max(b.minShouldMatch, 1)
+    val numShoulds = positives.length - numMusts
+    // explicit min-should is honored even with Musts present
+    // (`boolean_weight.rs:176-204`); with only Shoulds at least one must match
+    val minShould = if (numMusts > 0) b.minShouldMatch
+                    else math.max(b.minShouldMatch, 1)
+    // more required Shoulds than Should clauses matches nothing
+    if (minShould > numShoulds) return spark.emptyDataset[ScoredDoc]
 
     val allTermLeaves = positives.forall(_._2.isInstanceOf[TermQ])
 
@@ -356,7 +364,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       val sorted = rows.toArray.sortBy(_._3)
       var mustC = 0; var shouldC = 0; var sc = 0.0f
       sorted.foreach { r => if (r._4) mustC += 1 else shouldC += 1; sc += r._5 }
-      val ok = mustC == numMusts && (numMusts > 0 || shouldC >= minShould)
+      val ok = mustC == numMusts && shouldC >= minShould
       if (ok) Iterator.single(ScoredDoc(key._1, key._2, sc)) else Iterator.empty
     }
 
@@ -440,7 +448,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     */
   private def pureShouldTerms(q: Query): Option[Seq[String]] = q match {
     case TermQ(t) => Some(Seq(t))
-    case BoolQ(cs, 1) if cs.nonEmpty && cs.forall {
+    case BoolQ(cs, m) if m <= 1 && cs.nonEmpty && cs.forall {
         case (o, s) => o == Occur.Should && s.isInstanceOf[TermQ] } =>
       val ts = cs.map(_._2.asInstanceOf[TermQ].term)
       // duplicate Should clauses of one term sum that term's score twice

@@ -392,7 +392,13 @@ object Wand {
       .filter { r =>
         tauB == Float.MinValue || {
           val w = wB.value(r._2)
-          w.score(r._5, decodeMaxTf(r._6)) + (sumMax - w.maxScore) > tauB
+          // strictly-conservative upper bound: compute in double and allow
+          // 2 ulps of f32 slack — the per-doc score sums this prunes against
+          // are f32 in a different association order, and a bound rounding a
+          // few ulps low could drop a block holding a doc that ties tau
+          val bound = (w.score(r._5, decodeMaxTf(r._6)).toDouble
+            + sumMax.toDouble - w.maxScore.toDouble).toFloat
+          Math.nextUp(Math.nextUp(bound)) > tauB
         }
       }
 

@@ -93,7 +93,10 @@ object NaiveScorer {
         val negKeys = clauses.collect { case (Occur.MustNot, sub) => scores(sub).keySet }
           .foldLeft(Set.empty[(Int, Int)])(_ ++ _)
         val numMusts = positives.count(_._1 == Occur.Must)
-        val minShould = if (numMusts > 0) 0 else math.max(minShouldMatch, 1)
+        val numShoulds = positives.length - numMusts
+        val minShould = if (numMusts > 0) minShouldMatch
+                        else math.max(minShouldMatch, 1)
+        if (minShould > numShoulds) return Map.empty
         val subs = positives.map { case (occ, sub) => (occ, scores(sub)) }
         val keys = subs.flatMap(_._2.keys).distinct
         keys.flatMap { k =>
@@ -106,7 +109,7 @@ object NaiveScorer {
                 sc += v
               }
             }
-            if (mustC == numMusts && (numMusts > 0 || shouldC >= minShould)) Some(k -> sc)
+            if (mustC == numMusts && shouldC >= minShould) Some(k -> sc)
             else None
           }
         }.toMap

@@ -39,7 +39,12 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
-        oracle = json.load(f)
+        raw = json.load(f)
+    # the file publishes every entry under BOTH `name` and `name.parquet`
+    # (driver-compat shotgun); normalize to bare names here
+    oracle = {}
+    for k, v in raw.items():
+        oracle[k[:-8] if k.endswith(".parquet") else k] = v
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
