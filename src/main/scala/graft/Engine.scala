@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.index.{IndexBuilder, IndexConfig, Manifest}
+import graft.index.{FieldDef, IndexBuilder, IndexConfig, Manifest}
 import graft.query.{Query, Searcher}
 
 /** Session-scoped engine facade used by SparkEntry/Verify/Bench: builds (or
@@ -29,9 +29,28 @@ object Engine {
 
   private val searchers = new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
 
+  /** Index schema for the documents corpus: the default TEXT field `content`
+    * plus two STRING-preset fields (raw tokenizer, docs-only record) — the
+    * multi-field schema surface (`src/schema/field_type.rs:170-190`,
+    * `text_options.rs:264-280`).
+    */
+  val docsConfig: IndexConfig = IndexConfig(numSegments = 4,
+    extraFields = Seq(FieldDef.STRING("lang"), FieldDef.STRING("repo")))
+
+  /** Parser compile options matching docsConfig's schema: per-field
+    * analyzer chains + the numeric docmap fast-field columns.
+    */
+  def parseOpts: graft.query.Grammar.CompileOpts =
+    graft.query.Grammar.CompileOpts(
+      fieldTokenizers = Map(docsConfig.field -> "default") ++
+        docsConfig.extraFields.map(f => f.name -> f.tokenizer))
+
   private def indexDirFor(sfDir: String): String = {
+    // keyed by (sfDir, configHash): a schema change must invalidate the
+    // memoized on-disk index, not silently reuse a stale one
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      .digest(s"$sfDir|${docsConfig.configHash}".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
     new java.io.File(s"target/graft-index/$key").getAbsolutePath
   }
 
@@ -40,8 +59,7 @@ object Engine {
     searchers.computeIfAbsent(sfDir, { _ =>
       val dir = indexDirFor(sfDir)
       if (!Manifest.exists(dir)) {
-        IndexBuilder.build(spark, documentsAsSource(spark, sfDir), dir,
-          IndexConfig(numSegments = 4))
+        IndexBuilder.build(spark, documentsAsSource(spark, sfDir), dir, docsConfig)
       }
       new Searcher(spark, dir)
     })
@@ -62,8 +80,7 @@ object Engine {
     searchers.computeIfAbsent(s"$sfDir#del:$deleteTerm", { _ =>
       val dir = indexDirFor(sfDir) + "-del"
       if (!Manifest.exists(dir)) {
-        IndexBuilder.build(spark, documentsAsSource(spark, sfDir), dir,
-          IndexConfig(numSegments = 4))
+        IndexBuilder.build(spark, documentsAsSource(spark, sfDir), dir, docsConfig)
       }
       if (!new java.io.File(s"$dir/deletes").exists()) {
         index.Deletes.deleteByTerm(spark, dir, deleteTerm)

@@ -115,6 +115,18 @@ object SparkEntry {
         PhrasePrefixQ(Seq(0 -> "order"), prefix = 1 -> "s"))),
     "ft_term_set" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir), TermSetQ(Set("dup", "vector")))),
+    // multi-field schema: the STRING-preset field `lang` (raw tokenizer,
+    // docs-only) scoped via FieldQ, intersected with a default-field term —
+    // same query text against different fields yields different results
+    "ft_field_scoped" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
+        Occur.Must -> FieldQ("lang", TermQ("en")),
+        Occur.Must -> TermQ("spark"))))),
+    // the same term against the default field matches nothing ('en' is a
+    // lang value, not a content token) — the field-scoping counterexample
+    "ft_field_scoped_default" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
+        Occur.Must -> TermQ("en"), Occur.Must -> TermQ("spark"))))),
     "ft_range" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
         RangeQ("contentLen", Some((100.0, true)), Some((200.0, true))))),
@@ -138,6 +150,31 @@ object SparkEntry {
     "ft_parsed" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
         QueryParser.parse("+spark merge -join"))),
+    // full grammar surface, each compiled from user text end to end:
+    // field-qualified term + AND
+    "ft_parsed_field" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("lang:en AND spark", opts = Engine.parseOpts))),
+    // numeric fast-field range
+    "ft_parsed_range" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("contentLen:[100 TO 200]", opts = Engine.parseOpts))),
+    // parens + AND + negation
+    "ft_parsed_bool_expr" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("(spark OR merge) AND -join", opts = Engine.parseOpts))),
+    // str term-range over the default field's dictionary
+    "ft_parsed_term_range" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("[aa TO ab]", opts = Engine.parseOpts))),
+    // field-scoped IN set
+    "ft_parsed_set" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("lang: IN [en fr]", opts = Engine.parseOpts))),
+    // phrase-prefix from quoted literal + '*'
+    "ft_parsed_phrase_prefix" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("\"order s\"*", opts = Engine.parseOpts))),
     // `fulltext_match` Catalyst Expression (SQL-facing surface, SURVEY §4):
     // analyzer-consistent all-terms-must predicate over RAW content, no
     // index required — runs inside whole-stage codegen
@@ -528,6 +565,12 @@ object SparkEntry {
          |WHERE a.t = 'order' AND b.t LIKE 's%' ORDER BY doc_id""".stripMargin,
     "ft_term_set" ->
       s"WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t IN ('dup', 'vector') ORDER BY doc_id",
+    "ft_field_scoped" ->
+      s"""WITH $tokCte SELECT DISTINCT doc_id FROM documents
+         |WHERE lang = 'en' AND doc_id IN (SELECT doc_id FROM tok WHERE t = 'spark')
+         |ORDER BY doc_id""".stripMargin,
+    "ft_field_scoped_default" ->
+      "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0",
     "ft_range" ->
       "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id",
     "ft_exists" ->
@@ -563,6 +606,25 @@ object SparkEntry {
       s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t = 'spark'
          |AND doc_id NOT IN (SELECT doc_id FROM tok WHERE t = 'join')
          |ORDER BY doc_id""".stripMargin,
+    "ft_parsed_field" ->
+      s"""WITH $tokCte SELECT DISTINCT doc_id FROM documents
+         |WHERE lang = 'en' AND doc_id IN (SELECT doc_id FROM tok WHERE t = 'spark')
+         |ORDER BY doc_id""".stripMargin,
+    "ft_parsed_range" ->
+      "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id",
+    "ft_parsed_bool_expr" ->
+      s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t IN ('spark', 'merge')
+         |AND doc_id NOT IN (SELECT doc_id FROM tok WHERE t = 'join')
+         |ORDER BY doc_id""".stripMargin,
+    "ft_parsed_term_range" ->
+      s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok
+         |WHERE t >= 'aa' AND t <= 'ab' ORDER BY doc_id""".stripMargin,
+    "ft_parsed_set" ->
+      "SELECT doc_id FROM documents WHERE lang IN ('en', 'fr') ORDER BY doc_id",
+    "ft_parsed_phrase_prefix" ->
+      s"""WITH $posCte SELECT DISTINCT a.doc_id AS doc_id FROM pos a
+         |JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |WHERE a.t = 'order' AND b.t LIKE 's%' ORDER BY doc_id""".stripMargin,
     // the query literal 'Spark MERGE' analyzes to {spark, merge} (lowercase)
     "ft_match_expr" ->
       s"""WITH $tokCte SELECT doc_id FROM documents
@@ -723,10 +785,28 @@ object SparkEntry {
          |  SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
          |  FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
          |WHERE jaccard >= 0.5e0 ORDER BY a, b""".stripMargin,
+    // replays the Spark plan's LSH blocking bit-for-bit (deterministic
+    // integer-arithmetic hyperplanes, Similarity.planeComponent), then the
+    // exact cosine verify over candidates — oracle-checked approximate dedup
     "dedup_embed" ->
       s"""WITH $embCte
-         |, d AS (SELECT l.vec_id AS a, r.vec_id AS b, sum(l.x * r.x) AS dot FROM v l
-         |  JOIN v r ON l.i = r.i AND l.vec_id < r.vec_id GROUP BY l.vec_id, r.vec_id)
+         |, pl AS (SELECT j, d,
+         |    CAST(((j * 131 + d) * 2654435761 + 1013904223) % $P AS DOUBLE) / $P * 2 - 1 AS w
+         |    FROM range(${Similarity.NumPlanes}) t(j) CROSS JOIN range(64) r(d)),
+         |dt AS (SELECT v.vec_id, pl.j, sum(v.x * pl.w) AS dp
+         |    FROM v JOIN pl ON pl.d = v.i - 1 GROUP BY v.vec_id, pl.j),
+         |bk AS (SELECT vec_id, CAST(sum(CASE WHEN dp >= 0
+         |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+         |    FROM dt GROUP BY vec_id),
+         |pr AS (SELECT vec_id, bucket AS pb FROM bk
+         |    UNION ALL
+         |    SELECT vec_id, xor(bucket, CAST(1 AS BIGINT) << j) AS pb
+         |    FROM bk CROSS JOIN range(${Similarity.NumPlanes}) t(j)),
+         |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |    FROM pr l JOIN pr r ON l.pb = r.pb AND l.vec_id < r.vec_id),
+         |d AS (SELECT c.a, c.b, sum(l.x * r.x) AS dot FROM cand c
+         |    JOIN v l ON l.vec_id = c.a JOIN v r ON r.vec_id = c.b AND r.i = l.i
+         |    GROUP BY c.a, c.b)
          |SELECT a, b, cosine FROM (
          |  SELECT a, b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
          |  FROM d JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b)

@@ -248,6 +248,19 @@ object Analysis {
   def defaultTerms(text: String): Seq[(String, Int)] =
     defaultAnalyze(text).map(t => (t.text, t.position))
 
+  /** Named analyzer registry (`src/tokenizer/tokenizer_manager.rs:83-104`,
+    * the chains registered by default): dispatch for `FieldDef.tokenizer`.
+    * Used identically at index and query time for field-scoped literals.
+    */
+  def analyzeChain(name: String, text: String): Seq[Token] = name match {
+    case "default"    => defaultAnalyze(text)
+    case "raw"        => rawTokenize(text)
+    case "whitespace" => whitespaceTokenize(text)
+    case "simple"     => simpleTokenize(text)
+    case "en_stem"    => defaultAnalyze(text).map(t => t.copy(text = Stemmer.stemEnglish(t.text)))
+    case other => throw new IllegalArgumentException(s"unknown tokenizer chain: $other")
+  }
+
   /** StopWordFilter (reference `src/tokenizer/stop_word_filter/`). */
   def stopWordFilter(tokens: Seq[Token], stopSet: Set[String]): Seq[Token] =
     tokens.filterNot(t => stopSet.contains(t.text))

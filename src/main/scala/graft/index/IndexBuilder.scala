@@ -49,8 +49,16 @@ object IndexBuilder {
     * `segment_writer.rs:146-348`).
     */
   def perDocTerms(segId: Int, docId: Int, content: String,
-                  withPositions: Boolean): Iterator[DocTermRow] = {
-    val terms = Analysis.defaultTerms(content)
+                  withPositions: Boolean, field: String = "content"): Iterator[DocTermRow] =
+    perFieldTerms(segId, docId, field, Analysis.defaultTerms(content),
+      if (withPositions) "position" else "freq")
+
+  /** One field's analyzed (term, position) stream -> DocTermRows, honoring
+    * the field's IndexRecordOption (`src/schema/index_record_option.rs`):
+    * basic = docs only (tf recorded as 1), freq = tf, position = tf + pos.
+    */
+  def perFieldTerms(segId: Int, docId: Int, field: String,
+                    terms: Seq[(String, Int)], record: String): Iterator[DocTermRow] = {
     if (terms.isEmpty) Iterator.empty
     else {
       // fieldnorm byte from the doc's own (post-filter) token count —
@@ -68,8 +76,9 @@ object IndexBuilder {
         def next(): DocTermRow = {
           val e = it.next()
           val ps = e.getValue
-          DocTermRow(segId, docId, e.getKey, ps.length, normId,
-            if (withPositions) ps.toArray else Array.emptyIntArray)
+          DocTermRow(segId, docId, field, e.getKey,
+            if (record == "basic") 1 else ps.length, normId,
+            if (record == "position") ps.toArray else Array.emptyIntArray)
         }
       }
     }
@@ -85,7 +94,7 @@ object IndexBuilder {
     * (255, 255) — decodes to a valid upper bound (the reference's VInt tail
     * has no pair and falls back to the term-level max_score).
     */
-  private final case class Pending(segId: Int, term: String)
+  private final case class Pending(segId: Int, field: String, term: String)
 
   /** Block-max WAND pair for one full block: argmax of tf/(tf + cache(norm)),
     * later index wins ties (Rust `max_by`, `serializer.rs:389-413`); tf
@@ -102,13 +111,13 @@ object IndexBuilder {
     (norms(bi), math.min(tfs(bi), 255))
   }
 
-  def buildBlocks(rows: Iterator[(Int, Int, String, Int, Int, Array[Int])],
-                  avgFieldnorm: Map[Int, Float],
-                  field: String, blockSize: Int): Iterator[PostingBlock] =
+  def buildBlocks(rows: Iterator[(Int, Int, String, String, Int, Int, Array[Int])],
+                  avgFieldnorm: Map[(Int, String), Float],
+                  blockSize: Int): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
-      private val caches = scala.collection.mutable.Map.empty[Int, Array[Float]]
-      private def cache(segId: Int): Array[Float] =
-        caches.getOrElseUpdate(segId, Bm25.computeTfCache(avgFieldnorm(segId)))
+      private val caches = scala.collection.mutable.Map.empty[(Int, String), Array[Float]]
+      private def cache(segId: Int, field: String): Array[Float] =
+        caches.getOrElseUpdate((segId, field), Bm25.computeTfCache(avgFieldnorm((segId, field))))
 
       private var cur: Pending = null
       private var blockId = 0
@@ -121,10 +130,10 @@ object IndexBuilder {
       private def emit(full: Boolean): PostingBlock = {
         var maxN = 255; var maxT = 255
         if (full) {
-          val (mn, mt) = blockMaxPair(tfs.toArray, norms.toArray, cache(cur.segId))
+          val (mn, mt) = blockMaxPair(tfs.toArray, norms.toArray, cache(cur.segId, cur.field))
           maxN = mn; maxT = mt
         }
-        val b = PostingBlock(cur.segId, field, cur.term, blockId,
+        val b = PostingBlock(cur.segId, cur.field, cur.term, blockId,
           docs.last, docs.length, docs.toArray, tfs.toArray, norms.toArray, maxN, maxT,
           poss.toArray)
         blockId += 1
@@ -134,8 +143,8 @@ object IndexBuilder {
 
       private def advance(): Unit = {
         while (out == null && rows.hasNext) {
-          val (segId, docId, term, tf, normId, positions) = rows.next()
-          val key = Pending(segId, term)
+          val (segId, docId, field, term, tf, normId, positions) = rows.next()
+          val key = Pending(segId, field, term)
           if (cur != null && key != cur && docs.nonEmpty) {
             out = emit(full = false) // flush tail block of previous term
             // stash current row by falling through after emit
@@ -264,18 +273,51 @@ object IndexBuilder {
         // the bulk content — the docmap files already hold the assignment,
         // and a columnar re-read is a narrow scan with no shuffle.
         val withPos = cfg.withPositions
-        val analyzed: Dataset[DocTermRow] = docmapW
-          .select($"segId", $"docId", $"content").as[(Int, Int, String)]
-          .flatMap { case (s, d, c) => perDocTerms(s, d, c, withPos) }
+        val primaryField = cfg.field
+        val extras = cfg.extraFields
+        val analyzed: Dataset[DocTermRow] =
+          if (extras.isEmpty)
+            docmapW.select($"segId", $"docId", $"content").as[(Int, Int, String)]
+              .flatMap { case (s, d, c) => perDocTerms(s, d, c, withPos, primaryField) }
+          else {
+            // multi-field analysis: each extra field analyzed by ITS chain
+            // with ITS record option, concatenated into one posting stream
+            val cols = Seq($"segId", $"docId", $"content") ++
+              extras.map(f => col(f.name).cast("string"))
+            docmapW.select(cols: _*).flatMap { row =>
+              val s = row.getInt(0); val d = row.getInt(1)
+              perDocTerms(s, d, row.getString(2), withPos, primaryField) ++
+                extras.iterator.zipWithIndex.flatMap { case (f, i) =>
+                  val v = row.getString(3 + i)
+                  if (v == null) Iterator.empty
+                  else perFieldTerms(s, d, f.name,
+                    Analysis.analyzeChain(f.tokenizer, v).map(t => (t.text, t.position)),
+                    f.record)
+                }
+            }
+          }
 
-        // segment stats (drive both BM25 global stats and the block-max cache)
-        val statsRows = docmapW.groupBy($"segId")
+        // per-(segment, field) stats (drive both BM25 global stats and the
+        // block-max cache); extra fields are short strings — one small agg
+        // job per field
+        val primaryStats = docmapW.groupBy($"segId")
           .agg(sum($"tokenCount").as("totalNumTokens"), count(lit(1)).as("numDocs"))
           .select($"segId", lit(cfg.field).as("field"), $"totalNumTokens", $"numDocs")
-          .as[StatsRow].collect()
-        val avgFn: Map[Int, Float] = statsRows
-          .map(s => s.segId -> Bm25.averageFieldnorm(s.totalNumTokens, s.numDocs)).toMap
-        statsRows.toSeq.toDS().coalesce(1)
+          .as[StatsRow].collect().toSeq
+        val extraStats: Seq[StatsRow] = extras.flatMap { f =>
+          val tok = f.tokenizer
+          val cntU = udf((v: String) =>
+            if (v == null) 0L else Analysis.analyzeChain(tok, v).length.toLong)
+          docmapW.groupBy($"segId")
+            .agg(sum(cntU(col(f.name).cast("string"))).as("totalNumTokens"),
+              count(lit(1)).as("numDocs"))
+            .select($"segId", lit(f.name).as("field"), $"totalNumTokens", $"numDocs")
+            .as[StatsRow].collect().toSeq
+        }
+        val statsRows = primaryStats ++ extraStats
+        val avgFn: Map[(Int, String), Float] = statsRows
+          .map(s => (s.segId, s.field) -> Bm25.averageFieldnorm(s.totalNumTokens, s.numDocs)).toMap
+        statsRows.toDS().coalesce(1)
           .write.mode("overwrite").parquet(s"$indexDir/stats/batch=$b")
         phase("stats")
 
@@ -305,8 +347,8 @@ object IndexBuilder {
         }
 
         // postings: normId rides in DocTermRow (no docmap join), shuffle to
-        // (segId, term), sort, streaming 128-doc block assembly
-        val field = cfg.field; val blockSize = cfg.blockSize
+        // (segId, field, term), sort, streaming 128-doc block assembly
+        val blockSize = cfg.blockSize
         val avgFnB = spark.sparkContext.broadcast(avgFn)
         // Sort is TERM-major (term, segId, docId), not (segId, term, docId):
         // each output file then holds ONE globally term-sorted run, so the
@@ -319,11 +361,11 @@ object IndexBuilder {
         // because they are the pruning granularity: the default 128 MB group
         // spans a file's whole term range and prunes nothing.
         val blocks = analyzed
-          .select($"segId", $"docId", $"term", $"tf", $"normId", $"positions")
-          .as[(Int, Int, String, Int, Int, Array[Int])]
-          .repartition($"segId", $"term")
-          .sortWithinPartitions($"term", $"segId", $"docId")
-          .mapPartitions(rows => buildBlocks(rows, avgFnB.value, field, blockSize))
+          .select($"segId", $"docId", $"field", $"term", $"tf", $"normId", $"positions")
+          .as[(Int, Int, String, String, Int, Int, Array[Int])]
+          .repartition($"segId", $"field", $"term")
+          .sortWithinPartitions($"field", $"term", $"segId", $"docId")
+          .mapPartitions(rows => buildBlocks(rows, avgFnB.value, blockSize))
         blocks.write.mode("overwrite")
           .option("parquet.block.size", PRUNE_BLOCK_BYTES)
           .parquet(s"$indexDir/postings/batch=$b")
@@ -344,8 +386,9 @@ object IndexBuilder {
         val shaOk = Await.result(shaF, scala.concurrent.duration.Duration.Inf)
         phase("sha256 verify join")
         val wallMs = (System.nanoTime() - t0) / 1000000
-        statsRows.map(s => SegmentMeta(s.segId, b, s.numDocs,
-          s.totalNumTokens, termCounts.getOrElse(s.segId, 0L), wallMs, shaOk)).toSeq
+        // one SegmentMeta per segment (primary-field stats row), not per field
+        statsRows.filter(_.field == cfg.field).map(s => SegmentMeta(s.segId, b,
+          s.numDocs, s.totalNumTokens, termCounts.getOrElse(s.segId, 0L), wallMs, shaOk))
       }
     }
   }

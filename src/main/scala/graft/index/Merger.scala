@@ -131,15 +131,32 @@ object Merger {
 
       case Some(dead) =>
         // compaction path: drop dead docs, re-densify doc ids in stacking
-        // order. The remap window is unpartitioned (single task) — bounded
-        // by the per-segment MAX_DOC_LIMIT cap, same bound the reference's
-        // single-threaded merge lives under; the posting re-rank window is
-        // per-term (hot-term skew accepted for compaction, which is rare
-        // and offline relative to builds).
+        // order. Scale-safe mirror of the fast path's prefix-sum arithmetic:
+        //  - the doc remap = per-SEGMENT alive offset (a #sources-row
+        //    driver collect) + alive rank WITHIN the segment (window
+        //    partitioned by srcSegId — parallel across segments, each task
+        //    bounded by the MAX_DOC_LIMIT segment cap);
+        //  - the posting rank = per-(term, srcSeg) alive doc_freq prefix
+        //    sum + rank within (term, srcSeg) (window partitioned by BOTH —
+        //    a hot term's postings stay spread across its source segments,
+        //    the same skew bound as the builder's (segId, term) shuffle).
+        // No unpartitioned window, no per-term whole-list task.
         val alive = docmapSrc.join(dead, Seq("segId", "docId"), "left_anti").cache()
-        val remapW = Window.orderBy($"srcSegId", $"srcDocId")
+
+        val aliveCounts: Map[Int, Long] = alive.groupBy($"segId").count()
+          .as[(Int, Long)].collect().toMap
+        val aliveOffsets: Map[Int, Long] = {
+          var acc = 0L
+          sources.map { s =>
+            val o = s -> acc; acc += aliveCounts.getOrElse(s, 0L); o
+          }.toMap
+        }
+        val aliveOffsetU = udf((segId: Int) => aliveOffsets(segId))
+
+        val rankSegW = Window.partitionBy($"srcSegId").orderBy($"srcDocId")
         val remap = alive.select($"segId".as("srcSegId"), $"docId".as("srcDocId"))
-          .withColumn("newDocId", (row_number().over(remapW) - 1).cast("int"))
+          .withColumn("newDocId",
+            (aliveOffsetU($"srcSegId") + row_number().over(rankSegW) - 1).cast("int"))
           .cache()
 
         val dm = alive
@@ -152,8 +169,7 @@ object Merger {
         val agg = alive.agg(count(lit(1)), coalesce(sum($"tokenCount"), lit(0L)))
           .as[(Long, Long)].head()
 
-        val rankW = Window.partitionBy($"term").orderBy($"srcSegId", $"srcDocId")
-        val ex = spark.read.parquet(s"$indexDir/postings")
+        val joined = spark.read.parquet(s"$indexDir/postings")
           .where($"segId".isin(sources: _*) && $"field" === field)
           .select($"segId".as("srcSegId"), $"term",
             posexplode(arrays_zip($"docIds", $"tfs", $"normIds", $"positions")).as(Seq("pos", "p")))
@@ -161,8 +177,21 @@ object Merger {
           .join(remap, Seq("srcSegId", "srcDocId"))
           .select($"term", $"srcSegId", $"srcDocId", $"newDocId",
             $"p.tfs".as("tf"), $"p.normIds".as("normId"), $"p.positions".as("positions"))
-          .withColumn("rank", (row_number().over(rankW) - 1).cast("long"))
-          .select($"term", $"rank", $"newDocId".as("docId"), $"tf", $"normId", $"positions")
+
+        // startRank(term, srcSeg) = prefix sum of ALIVE per-segment doc_freq
+        // (the aggregate is tiny: one row per (term, segment))
+        val dfAlive = joined.groupBy($"term", $"srcSegId").agg(count(lit(1)).as("df"))
+        val startW = Window.partitionBy($"term").orderBy($"srcSegId")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val startRanks = dfAlive.select($"term", $"srcSegId",
+          coalesce(sum($"df").over(startW), lit(0L)).as("startRank"))
+
+        val rankInW = Window.partitionBy($"term", $"srcSegId").orderBy($"srcDocId")
+        val ex = joined
+          .withColumn("rankIn", row_number().over(rankInW).cast("long") - 1)
+          .join(startRanks, Seq("term", "srcSegId"))
+          .select($"term", ($"startRank" + $"rankIn").as("rank"),
+            $"newDocId".as("docId"), $"tf", $"normId", $"positions")
         (dm, ex, agg._1, agg._2)
     }
 

@@ -48,13 +48,37 @@ final case class TermDictRow(segId: Int, field: String, term: String, docFreq: L
   */
 final case class StatsRow(segId: Int, field: String, totalNumTokens: Long, numDocs: Long)
 
-/** Intermediate: one (doc, term) posting with positions, pre-blocking.
-  * `normId` is the doc's fieldnorm byte, computed inline during analysis
-  * (it depends only on the doc's own token count) so the postings path
-  * never joins back to docmap.
+/** Intermediate: one (doc, field, term) posting with positions, pre-blocking.
+  * `normId` is the doc's PER-FIELD fieldnorm byte, computed inline during
+  * analysis (it depends only on the doc's own token count in that field) so
+  * the postings path never joins back to docmap.
   */
 final case class DocTermRow(
-    segId: Int, docId: Int, term: String, tf: Int, normId: Int, positions: Array[Int])
+    segId: Int, docId: Int, field: String, term: String, tf: Int, normId: Int,
+    positions: Array[Int])
+
+/** Per-field indexing options (`src/schema/field_type.rs:170-190` +
+  * `text_options.rs:264-280`): which analyzer chain tokenizes the field and
+  * which IndexRecordOption it records. The presets mirror the reference:
+  * TEXT = default chain + WithFreqsAndPositions; STRING = raw + Basic.
+  * `stored` is implicit — every input column is already a docmap (docstore)
+  * column; `fast` likewise (Parquet is columnar, every docmap column is a
+  * fast field).
+  */
+final case class FieldDef(
+    name: String,               // input column == indexed field name
+    tokenizer: String = "default",
+    record: String = "position" // "basic" | "freq" | "position" (IndexRecordOption)
+) {
+  require(Set("basic", "freq", "position").contains(record),
+    s"unknown IndexRecordOption: $record")
+}
+object FieldDef {
+  /** `text_options.rs:276` — the TEXT preset. */
+  def TEXT(name: String): FieldDef = FieldDef(name, "default", "position")
+  /** `text_options.rs:268` — the STRING preset: raw tokenizer, docs-only. */
+  def STRING(name: String): FieldDef = FieldDef(name, "raw", "basic")
+}
 
 /** Manifest entry — per-segment lineage + metrics (north-rule requirement):
   * which input batch produced it, rows/bytes/terms, wall time, sha256 check.
@@ -69,10 +93,21 @@ final case class IndexConfig(
     field: String = "content",
     blockSize: Int = 128,          // COMPRESSION_BLOCK_SIZE, compression/mod.rs:4
     withPositions: Boolean = true, // IndexRecordOption::WithFreqsAndPositions (TEXT preset)
-    buildBatches: Int = 1          // checkpointable segment batches per build
+    buildBatches: Int = 1,         // checkpointable segment batches per build
+    /** Additional indexed fields beyond the primary text field, each with
+      * its own tokenizer chain + IndexRecordOption (multi-field schema,
+      * `src/schema/field_type.rs:170-190`). Their source values must be
+      * string columns of the input (they are docmap columns already).
+      */
+    extraFields: Seq[FieldDef] = Seq.empty
 ) {
   def configHash: String = {
-    val s = s"v1|$numSegments|$field|$blockSize|$withPositions|$buildBatches"
+    // extraFields only appended when present so single-field hashes (and
+    // the memoized on-disk indexes they name) are unchanged
+    val ef = if (extraFields.isEmpty) ""
+      else extraFields.map(f => s"${f.name},${f.tokenizer},${f.record}")
+        .mkString("|ef:", ";", "")
+    val s = s"v1|$numSegments|$field|$blockSize|$withPositions|$buildBatches$ef"
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
   }

@@ -169,17 +169,35 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs >= threshold. Candidates = pairs sharing
-    * at least one shingle (inverted-index join on shingle hash — the
-    * standard blocking trick; no cross join). Output (a, b, jaccard).
+    * at least one shingle with document frequency <= `maxShingleDf`
+    * (inverted-index blocking with a frequency cut — one boilerplate header
+    * shared by 1M docs must not generate O(df^2) candidate rows; the
+    * standard winnowing-style cap). The Jaccard itself is then verified
+    * EXACTLY over the candidates' full shingle sets, so the cap changes
+    * recall only for pairs whose every shared shingle is ultra-hot — which
+    * a boilerplate shingle by definition is not evidence of near-duplication
+    * anyway. Output (a, b, jaccard).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        maxShingleDf: Long = 5000L): DataFrame = {
     val sh = df.select(col(idCol).cast("long").as("doc_id"),
       explode(shingles(col(textCol), n)).as("s"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.withColumnRenamed("doc_id", "a")
-      .join(sh.withColumnRenamed("doc_id", "b"), Seq("s"))
+    // blocking: drop hot shingles BEFORE the self-join (candidate count per
+    // shingle is then <= maxShingleDf^2 instead of df^2 on the hottest one)
+    val shingleDf = sh.groupBy("s").agg(count(lit(1)).as("sdf"))
+    val rare = sh.join(shingleDf.where(col("sdf") <= maxShingleDf).select("s"),
+      Seq("s"), "left_semi")
+    val cand = rare.withColumnRenamed("doc_id", "a")
+      .join(rare.withColumnRenamed("doc_id", "b"), Seq("s"))
       .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // exact verification over the FULL shingle sets, candidates only
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("s", "sa"), Seq("a"))
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("s", "sb"), Seq("b"))
+      .where(col("sa") === col("sb"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), Seq("a"))
@@ -192,13 +210,42 @@ object Dedup {
 
   // ---------------------------------------------------------------- embedding
 
-  /** Embedding-cosine near-dup pairs >= threshold over an Array[Float]
-    * column. This is the exact (quadratic) variant for bounded inputs —
-    * at scale, block first with `Similarity.lshBuckets` and verify within
-    * buckets (same shape as MinHash -> verify above).
+  /** Embedding-cosine near-dup pairs >= threshold, SCALE PATH: random-
+    * hyperplane LSH blocking (`Similarity.lshBuckets`) with multi-probing —
+    * every vector lands in its own bucket plus all Hamming-1 buckets, so
+    * two vectors whose signatures differ by <= 2 bits become a candidate
+    * pair — followed by EXACT cosine verification of candidates only. No
+    * cross join: the shuffle carries (probeBucket, id) rows and the verify
+    * join touches candidate vectors only. Recall < 1 by construction (the
+    * LSH S-curve); the blocking is deterministic integer arithmetic, so the
+    * SQL oracle replays it bit-for-bit.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
+    val base = Similarity.lshBuckets(df, idCol, vecCol)
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val probeList = array(
+      (col("bucket") +: (0 until Similarity.NumPlanes)
+        .map(j => col("bucket").bitwiseXOR(lit(1L << j)))): _*)
+    val pr = base.select(col("vec_id"), explode(probeList).as("pb"))
+    val cand = pr.as("l")
+      .join(pr.as("r"), col("l.pb") === col("r.pb") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b")).distinct()
+    val va = base.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = base.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("cosine", round(
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+          / (col("na") * col("nb")), 6))
+      .where(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
+  /** Exact (quadratic) variant for bounded inputs — the recall baseline the
+    * bucketed path is measured against (DedupSpec).
+    */
+  def embeddingPairsExact(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("doc_id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))

@@ -73,6 +73,41 @@ object Similarity {
     df.select(col(idCol).cast("long").as("vec_id"), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", bucketOf(col("v")))
 
+  /** The scale path's build side: write the bucketed table PARTITIONED BY
+    * bucket, so a probe is a partition-pruned scan of ~(b+1)/2^b of the
+    * data — the directory layout IS the index.
+    */
+  def writeBucketed(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    lshBuckets(df, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** ANN top-k over a `writeBucketed` table: the `bucket IN probes`
+    * predicate prunes to b+1 partition directories before any row is read.
+    */
+  def lshTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      query: Array[Double], k: Int): DataFrame = {
+    val probes = probeBuckets(query)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val q = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .where(col("bucket").isin(probes: _*))
+      .withColumn("cosine", round(dot(col("v"), q) / (norm(col("v")) * lit(qn)), 6))
+      .select("vec_id", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** The query's own bucket plus all Hamming-1 neighbors. */
+  def probeBuckets(query: Array[Double]): Seq[Long] = {
+    var s = 0L
+    for (j <- 0 until NumPlanes) {
+      val d = (0 until query.length)
+        .map(i => query(i) * planeComponent(j, i)).sum
+      if (d >= 0) s |= (1L << j)
+    }
+    s +: (0 until NumPlanes).map(j => s ^ (1L << j))
+  }
+
   /** ANN top-k: probe the query's bucket and all Hamming-1 neighbors, rank
     * probed candidates by exact cosine. Recall < 1 by construction (that is
     * the approximation); candidates scanned ~ (NumPlanes+1)/2^NumPlanes of
@@ -80,16 +115,7 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Array[Double], k: Int): DataFrame = {
-    val qSig = {
-      var s = 0L
-      for (j <- 0 until NumPlanes) {
-        val d = (0 until query.length)
-          .map(i => query(i) * planeComponent(j, i)).sum
-        if (d >= 0) s |= (1L << j)
-      }
-      s
-    }
-    val probes = qSig +: (0 until NumPlanes).map(j => qSig ^ (1L << j))
+    val probes = probeBuckets(query)
     val qn = math.sqrt(query.map(x => x * x).sum)
     val q = array(query.map(lit): _*)
     lshBuckets(df, idCol, vecCol)

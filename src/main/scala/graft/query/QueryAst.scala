@@ -51,6 +51,14 @@ final case class RangeQ(column: String,
 /** `src/query/set_query.rs:13` — docs containing any term of the set, const score. */
 final case class TermSetQ(terms: Set[String]) extends Query
 
+/** `src/query/range_query/range_query.rs:71-170` over an INDEXED text
+  * field's term space (str fast-field range semantics): docs containing any
+  * dictionary term inside the bounds. Evaluated as a distributed termdict
+  * filter semi-joined into the postings scan. Bounds are (value, inclusive).
+  */
+final case class TermRangeQ(
+    lower: Option[(String, Boolean)], upper: Option[(String, Boolean)]) extends Query
+
 /** `src/query/fuzzy_query.rs:80-131` — Levenshtein distance <= d (max 2),
   * optional transposition cost 1, optional prefix mode; const score 1.0.
   */
@@ -82,6 +90,14 @@ final case class MoreLikeThisQ(segId: Int, docId: Int, minDocFreq: Long = 5,
 final case class RegexPhraseQ(terms: Seq[(Int, String)], slop: Int = 0,
     maxExpansions: Int = 1000) extends Query
 
+/** Field scoping (`query_parser.rs:712-740` field-qualified literals +
+  * `user_input_ast.rs` set_field): compile the subtree against the named
+  * indexed field instead of the searcher's default field. Applies to
+  * term/set/phrase/regex/fuzzy leaves; fast-field leaves (Range/Exists)
+  * already carry their column name.
+  */
+final case class FieldQ(field: String, q: Query) extends Query
+
 /** `src/query/all_query.rs:12-38` — every doc, score 1.0. */
 case object AllQ extends Query
 
@@ -101,52 +117,18 @@ final case class ConstScoreQ(q: Query, score: Float) extends Query
   */
 final case class DisMaxQ(qs: Seq[Query], tieBreaker: Float = 0.0f) extends Query
 
-/** Driver-side query parser for the search-benchmark-game subset
-  * (reference grammar `query-grammar/src/query_grammar.rs`; semantics
-  * `query_parser.rs:336-1080`):
-  *   word            -> Should TermQ (after re-analyzing with the default chain)
-  *   +word / -word   -> Must / MustNot
-  *   "a b" (~slop)   -> PhraseQ
-  * A literal that analyzes to 0 tokens is dropped; to 1 token -> TermQ; to
-  * >= 2 tokens -> PhraseQ (`query_parser.rs:958-996`). Multiple clauses form
-  * a BoolQ; a single positive clause is unwrapped (`boolean_weight.rs:263-271`).
+/** The user-facing query parser: the FULL reference grammar
+  * (`query-grammar/src/query_grammar.rs`, strict variant) parsed by
+  * `Grammar.parseToAst`, compiled to this ADT with `query_parser.rs`
+  * semantics by `Grammar.compile`. Field-qualified literals, AND/OR/NOT,
+  * parens, +/- occurs, quoted phrases with `~slop`/`*` prefix, `[a TO b]`
+  * ranges, `IN [..]` sets, `^boost`, `/regex/`, `*` and `field:*`.
   */
 object QueryParser {
-  import graft.analysis.Analysis
-
-  private def literal(text: String, slop: Int): Option[Query] = {
-    val toks = Analysis.defaultAnalyze(text)
-    toks.length match {
-      case 0 => None
-      case 1 => Some(TermQ(toks.head.text))
-      case _ => Some(PhraseQ(toks.map(t => (t.position, t.text)), slop))
-    }
-  }
-
-  def parse(input: String, conjunctionByDefault: Boolean = false): Query = {
-    val raw = scala.collection.mutable.ArrayBuffer.empty[(Occur, String, Int)]
-    // quoted phrases accept the grammar's slop suffix `"a b"~2`
-    // (`query-grammar/src/query_grammar.rs` literal parsing, slop in
-    // `user_input_ast.rs:133-139`)
-    val re = """([+-])?("([^"]*)"(~(\d+))?|\S+)""".r
-    for (m <- re.findAllMatchIn(input)) {
-      val occur = m.group(1) match {
-        case "+" => Occur.Must
-        case "-" => Occur.MustNot
-        case _ => if (conjunctionByDefault) Occur.Must else Occur.Should
-      }
-      val text = if (m.group(3) != null) m.group(3) else m.group(2)
-      val slop = if (m.group(5) != null) m.group(5).toInt else 0
-      raw += ((occur, text, slop))
-    }
-    val clauses = raw.toSeq.flatMap { case (o, t, s) => literal(t, s).map(q => (o, q)) }
-    clauses match {
-      case Seq() => EmptyQ
-      case Seq((Occur.Must, q)) => q
-      case Seq((Occur.Should, q)) => q
-      case cs => BoolQ(cs)
-    }
-  }
+  def parse(input: String, conjunctionByDefault: Boolean = false,
+            opts: Grammar.CompileOpts = Grammar.CompileOpts()): Query =
+    Grammar.compile(Grammar.parseToAst(input),
+      opts.copy(conjunctionByDefault = conjunctionByDefault))
 }
 
 /** Banded Levenshtein (distance <= 2) with optional Damerau transposition,

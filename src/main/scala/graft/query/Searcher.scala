@@ -65,12 +65,22 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     if (p.exists()) Some(pin(spark.read.parquet(p.toString))) else None
   }
 
-  lazy val (totalNumTokens: Long, totalNumDocs: Long) = {
-    val r = statsDf.where($"field" === field)
-      .agg(sum($"totalNumTokens"), sum($"numDocs")).as[(Long, Long)].head()
-    (r._1, r._2)
-  }
+  /** Per-field index-global (totalNumTokens, numDocs), cached: the manifest
+    * snapshot is immutable, so a field's totals never change under this
+    * Searcher.
+    */
+  private val fieldStatsCache = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  def fieldStats(fld: String): (Long, Long) =
+    fieldStatsCache.getOrElseUpdate(fld,
+      statsDf.where($"field" === fld)
+        .agg(coalesce(sum($"totalNumTokens"), lit(0L)), coalesce(sum($"numDocs"), lit(0L)))
+        .as[(Long, Long)].head())
+
+  lazy val (totalNumTokens: Long, totalNumDocs: Long) = fieldStats(field)
   lazy val avgFieldnorm: Float = Bm25.averageFieldnorm(totalNumTokens, totalNumDocs)
+  def avgFieldnormFor(fld: String): Float = {
+    val (t, d) = fieldStats(fld); Bm25.averageFieldnorm(t, d)
+  }
 
   /** Global doc_freq per term: per-segment df summed (`bm25.rs:45-48`).
     * The per-segment rows are collected and summed on the driver — one
@@ -78,56 +88,59 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     * groupBy's two-stage shuffle; the result is ≤ (#segments × #terms) tiny
     * rows regardless of index size.
     */
-  private val dfCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val dfCache = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
-  def docFreqs(terms: Seq[String]): Map[String, Long] = {
+  def docFreqs(terms: Seq[String], fld: String = field): Map[String, Long] = {
     if (terms.isEmpty) return Map.empty
     // the Searcher pins an immutable manifest snapshot, so a term's global
     // df can never change under it — cache resolved dfs on the driver (the
     // reference's analog is the mmap'd term dictionary: a repeat df lookup
     // costs nanoseconds there and must not cost a Spark job here). A term
     // absent from the index is cached as df 0 and filtered from the result.
-    val missing = terms.distinct.filterNot(dfCache.contains)
+    val missing = terms.distinct.filterNot(t => dfCache.contains((fld, t)))
     if (missing.nonEmpty) {
       val fetched = termdict
-        .where($"field" === field && $"term".isin(missing: _*))
+        .where($"field" === fld && $"term".isin(missing: _*))
         .select($"term", $"docFreq")
         .as[(String, Long)].collect()
         .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
-      missing.foreach(t => dfCache.put(t, fetched.getOrElse(t, 0L)))
+      missing.foreach(t => dfCache.put((fld, t), fetched.getOrElse(t, 0L)))
     }
     terms.distinct.flatMap { t =>
-      val df = dfCache(t)
+      val df = dfCache((fld, t))
       if (df > 0) Some(t -> df) else None
     }.toMap
   }
 
-  def weightsFor(terms: Seq[String]): Map[String, Bm25.Weight] =
-    weightsFromDfs(docFreqs(terms))
+  def weightsFor(terms: Seq[String], fld: String = field): Map[String, Bm25.Weight] =
+    weightsFromDfs(docFreqs(terms, fld), fld)
 
   /** Build weights from an already-fetched df map (no extra Spark job). */
-  def weightsFromDfs(dfs: Map[String, Long]): Map[String, Bm25.Weight] =
-    dfs.map { case (t, df) => t -> Bm25.forOneTerm(df, totalNumDocs, avgFieldnorm) }
+  def weightsFromDfs(dfs: Map[String, Long], fld: String = field): Map[String, Bm25.Weight] = {
+    val (_, nDocs) = fieldStats(fld)
+    val avg = avgFieldnormFor(fld)
+    dfs.map { case (t, df) => t -> Bm25.forOneTerm(df, nDocs, avg) }
+  }
 
   /** Exploded scored postings for a set of terms, one scan, partition/
     * row-group pruned by the `term` predicate:
     * (segId, docId, term, score: Float).
     */
-  def scoredTermDocs(terms: Seq[String]): DataFrame = {
-    val weights = weightsFor(terms)
+  def scoredTermDocs(terms: Seq[String], fld: String = field): DataFrame = {
+    val weights = weightsFor(terms, fld)
     val scoreU = udf((term: String, tf: Int, normId: Int) =>
       weights.get(term).map(_.score(normId, tf)).getOrElse(0.0f))
     postings
-      .where($"field" === field && $"term".isin(terms.distinct: _*))
+      .where($"field" === fld && $"term".isin(terms.distinct: _*))
       .select($"segId", $"term", explode(arrays_zip($"docIds", $"tfs", $"normIds")).as("p"))
       .select($"segId", $"term", $"p.docIds".as("docId"),
         scoreU($"term", $"p.tfs", $"p.normIds").as("score"))
   }
 
   /** Unscored doc set for a term set (TermSetQuery / automaton expansions). */
-  def docsForTerms(terms: Seq[String]): Dataset[ScoredDoc] = {
+  def docsForTerms(terms: Seq[String], fld: String = field): Dataset[ScoredDoc] = {
     if (terms.isEmpty) return spark.emptyDataset[ScoredDoc]
-    postings.where($"field" === field && $"term".isin(terms.distinct: _*))
+    postings.where($"field" === fld && $"term".isin(terms.distinct: _*))
       .select($"segId", explode($"docIds").as("docId"))
       .distinct()
       .select($"segId", $"docId", lit(1.0f).as("score"))
@@ -141,8 +154,8 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     * (the matched set after an automaton is small; the DICTIONARY need not
     * fit anywhere).
     */
-  def docsForTermsDf(matched: DataFrame): Dataset[ScoredDoc] =
-    postings.where($"field" === field)
+  def docsForTermsDf(matched: DataFrame, fld: String = field): Dataset[ScoredDoc] =
+    postings.where($"field" === fld)
       .join(broadcast(matched.select($"term").distinct()), Seq("term"), "left_semi")
       .select($"segId", explode($"docIds").as("docId"))
       .distinct()
@@ -151,6 +164,10 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
 
   lazy val allTerms: DataFrame =
     termdict.where($"field" === field).select($"term").distinct()
+
+  def allTermsFor(fld: String): DataFrame =
+    if (fld == field) allTerms
+    else termdict.where($"field" === fld).select($"term").distinct()
 
   // ---------- query compilation ----------
 
@@ -165,18 +182,25 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     case None => compileRaw(q)
   }
 
-  private def compileRaw(q: Query): Dataset[ScoredDoc] = q match {
+  private def compileRaw(q: Query, fld: String = field): Dataset[ScoredDoc] = q match {
     case EmptyQ => spark.emptyDataset[ScoredDoc]
+    case FieldQ(f2, sub) => compileRaw(sub, f2)
     case AllQ =>
       docmap.select($"segId", $"docId", lit(1.0f).as("score")).as[ScoredDoc]
     case TermQ(t) =>
-      scoredTermDocs(Seq(t)).select($"segId", $"docId", $"score").as[ScoredDoc]
-    case TermSetQ(ts) => docsForTerms(ts.toSeq.sorted)
+      scoredTermDocs(Seq(t), fld).select($"segId", $"docId", $"score").as[ScoredDoc]
+    case TermSetQ(ts) => docsForTerms(ts.toSeq.sorted, fld)
+    case TermRangeQ(lo, hi) =>
+      // str-range over the term dictionary, distributed (no driver collect)
+      var t = allTermsFor(fld)
+      lo.foreach { case (v, incl) => t = t.where(if (incl) $"term" >= v else $"term" > v) }
+      hi.foreach { case (v, incl) => t = t.where(if (incl) $"term" <= v else $"term" < v) }
+      docsForTermsDf(t, fld)
     case RegexQ(pattern) =>
       // regex over the term dictionary (`regex_query.rs:57`), evaluated
       // DISTRIBUTED over termdict, then semi-joined into the postings scan —
       // the term dict never passes through the driver.
-      docsForTermsDf(allTerms.where(regexp_like($"term", lit(pattern))))
+      docsForTermsDf(allTermsFor(fld).where(regexp_like($"term", lit(pattern))), fld)
     case FuzzyQ(term, d, transpose, prefix) =>
       // banded-DP Levenshtein over the distinct term dictionary — the
       // FST+DFA intersection of the reference (`fuzzy_query.rs:80-131`)
@@ -187,7 +211,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
             Levenshtein.within(term, c, d, transpose)
         else Levenshtein.within(term, c, d, transpose)
       }
-      docsForTermsDf(allTerms.where(within($"term")))
+      docsForTermsDf(allTermsFor(fld).where(within($"term")), fld)
     case RangeQ(columnName, lower, upper) =>
       var df = docmap
       lower.foreach { case (v, incl) =>
@@ -199,14 +223,14 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       docmap.where(col(columnName).isNotNull)
         .select($"segId", $"docId", lit(1.0f).as("score")).as[ScoredDoc]
     case BoostQ(sub, boost) =>
-      compileRaw(sub).map(s => s.copy(score = s.score * boost))
+      compileRaw(sub, fld).map(s => s.copy(score = s.score * boost))
     case ConstScoreQ(sub, c) =>
-      compileRaw(sub).map(s => s.copy(score = c))
+      compileRaw(sub, fld).map(s => s.copy(score = c))
     case DisMaxQ(qs, tie) =>
       // max + tie * (sum of the others), accumulated in clause order
       // (`score_combiner.rs:60-90`)
       val tagged = qs.zipWithIndex.map { case (sub, i) =>
-        compileRaw(sub).map(s => (s.segId, s.docId, i, s.score)) }
+        compileRaw(sub, fld).map(s => (s.segId, s.docId, i, s.score)) }
       val all = tagged.reduceLeft(_ union _)
       all.groupByKey(r => (r._1, r._2)).mapGroups { (key, rows) =>
         val sorted = rows.toArray.sortBy(_._3)
@@ -234,7 +258,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         .sortBy { case (t, s) => (-s, t) }
         .take(maxTerms).map(_._1)
       docsForTerms(selected.sorted)
-    case p: PhraseQ => compilePhrase(p)
+    case p: PhraseQ => compilePhrase(p, fld)
     case rp: RegexPhraseQ =>
       // per-position regex expansion against the term dictionary
       // (`regex_phrase_query.rs:23`): slot i matches any of its expanded
@@ -244,7 +268,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       require(indexMeta.forall(_.withPositions),
         s"regex-phrase query needs positions, but the index at $indexDir was built with withPositions=false")
       val slotTerms: Seq[Seq[String]] = rp.terms.map { case (_, pat) =>
-        allTerms.where(regexp_like($"term", lit(pat)))
+        allTermsFor(fld).where(regexp_like($"term", lit(pat)))
           .orderBy($"term").limit(rp.maxExpansions).as[String].collect().toSeq
       }
       if (slotTerms.exists(_.isEmpty)) spark.emptyDataset[ScoredDoc]
@@ -258,7 +282,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         val allMatched = termSlots.keys.toSeq.sorted
         val slop = rp.slop
         val rows = postings
-          .where($"field" === field && $"term".isin(allMatched: _*))
+          .where($"field" === fld && $"term".isin(allMatched: _*))
           .select($"segId", $"term", explode(arrays_zip($"docIds", $"positions")).as("p"))
           .select($"segId", $"term", $"p.docIds".as("docId"), $"p.positions".as("positions"))
           .as[(Int, String, Int, Array[Int])]
@@ -281,16 +305,16 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       // expand the prefix against the term dictionary in ascending term
       // order, capped at maxExpansions (`phrase_prefix_query.rs`), then
       // union the completed phrases; a doc scores its best expansion.
-      val expansions = allTerms
+      val expansions = allTermsFor(fld)
         .where($"term".startsWith(pp.prefix._2))
         .orderBy($"term").limit(pp.maxExpansions).as[String].collect()
       if (expansions.isEmpty) spark.emptyDataset[ScoredDoc]
       else expansions.toSeq
-        .map(e => compilePhrase(PhraseQ(pp.terms :+ ((pp.prefix._1, e)), 0)))
+        .map(e => compilePhrase(PhraseQ(pp.terms :+ ((pp.prefix._1, e)), 0), fld))
         .reduceLeft(_ union _)
         .groupByKey(s => (s.segId, s.docId))
         .mapGroups { (k, it) => ScoredDoc(k._1, k._2, it.map(_.score).max) }
-    case b: BoolQ => compileBool(b)
+    case b: BoolQ => compileBool(b, fld)
   }
 
   /** Boolean combination (`boolean_weight.rs:101-257`): doc matches iff all
@@ -300,7 +324,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     * All-TermQ positive clauses collapse into ONE postings scan (isin over
     * the term list — single pruned scan instead of one per clause).
     */
-  private def compileBool(b: BoolQ): Dataset[ScoredDoc] = {
+  private def compileBool(b: BoolQ, fld: String = field): Dataset[ScoredDoc] = {
     val positives = b.clauses.filter(_._1 != Occur.MustNot)
     val negatives = b.clauses.collect { case (Occur.MustNot, q) => q }
     if (positives.isEmpty) return spark.emptyDataset[ScoredDoc] // MustNot-only matches nothing (boolean_weight.rs:266-269)
@@ -321,12 +345,12 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     // Score = sum of clause scores in clause order (`score_combiner.rs:39`).
     if (allTermLeaves && numMusts == positives.length) {
       val clauseTerms = positives.map(_._2.asInstanceOf[TermQ].term)
-      val dfs = docFreqs(clauseTerms.distinct)
+      val dfs = docFreqs(clauseTerms.distinct, fld)
       if (clauseTerms.distinct.exists(t => !dfs.contains(t)))
         return spark.emptyDataset[ScoredDoc]
       val ordered = clauseTerms.distinct.sortBy(t => (dfs(t), t))
       def frame(t: String, i: Int): DataFrame =
-        scoredTermDocs(Seq(t)).select($"segId", $"docId", $"score".as(s"sc$i"))
+        scoredTermDocs(Seq(t), fld).select($"segId", $"docId", $"score".as(s"sc$i"))
       var joined = frame(ordered.head, 0)
       for ((t, i) <- ordered.tail.zipWithIndex)
         joined = joined.join(frame(t, i + 1), Seq("segId", "docId"))
@@ -336,7 +360,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         .select($"segId", $"docId", sumCol.as("score")).as[ScoredDoc]
       return (if (negatives.isEmpty) positive
       else {
-        val neg = negatives.map(compileRaw).reduceLeft(_ union _)
+        val neg = negatives.map(q => compileRaw(q, fld)).reduceLeft(_ union _)
           .select($"segId", $"docId").distinct()
         positive.join(neg, Seq("segId", "docId"), "left_anti").as[ScoredDoc]
       })
@@ -347,7 +371,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         val metas = positives.zipWithIndex.map { case ((occ, TermQ(t)), i) =>
           (t, i, occ == Occur.Must) }
         val byTerm = metas.groupBy(_._1)
-        val scored = scoredTermDocs(metas.map(_._1).distinct)
+        val scored = scoredTermDocs(metas.map(_._1).distinct, fld)
         scored.select($"segId", $"docId", $"term", $"score")
           .as[(Int, Int, String, Float)]
           .flatMap { case (seg, doc, term, sc) =>
@@ -356,7 +380,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       } else {
         positives.zipWithIndex.map { case ((occ, sub), i) =>
           val isMust = occ == Occur.Must
-          compileRaw(sub).map(s => (s.segId, s.docId, i, isMust, s.score))
+          compileRaw(sub, fld).map(s => (s.segId, s.docId, i, isMust, s.score))
         }.reduceLeft(_ union _)
       }
 
@@ -370,7 +394,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
 
     if (negatives.isEmpty) combined
     else {
-      val neg = negatives.map(compileRaw).reduceLeft(_ union _)
+      val neg = negatives.map(q => compileRaw(q, fld)).reduceLeft(_ union _)
         .select($"segId", $"docId").distinct()
       combined.join(neg, Seq("segId", "docId"), "left_anti").as[ScoredDoc]
     }
@@ -388,22 +412,22 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     * docs in the full intersection — a doc containing just the hot term of a
     * phrase never ships its positions anywhere.
     */
-  private def compilePhrase(p: PhraseQ): Dataset[ScoredDoc] = {
+  private def compilePhrase(p: PhraseQ, fld: String = field): Dataset[ScoredDoc] = {
     // the reference errors when positions were not indexed
     // (`query_parser.rs:986-991`); silently empty matches would be worse
     require(indexMeta.forall(_.withPositions),
       s"phrase query needs positions, but the index at $indexDir was built with withPositions=false")
     val terms = p.terms.map(_._2)
-    val dfs = docFreqs(terms.distinct)
+    val dfs = docFreqs(terms.distinct, fld)
     if (terms.distinct.exists(t => !dfs.contains(t))) return spark.emptyDataset[ScoredDoc]
-    val weight = Bm25.forTerms(terms.map(dfs), totalNumDocs, avgFieldnorm)
+    val weight = Bm25.forTerms(terms.map(dfs), fieldStats(fld)._2, avgFieldnormFor(fld))
     val offsets = p.terms.map(_._1).toArray
     val slop = p.slop
 
     val ordered = terms.distinct.sortBy(t => (dfs(t), t))
     def frame(t: String, i: Int): DataFrame = {
       val base = postings
-        .where($"field" === field && $"term" === t)
+        .where($"field" === fld && $"term" === t)
         .select($"segId",
           explode(arrays_zip($"docIds", $"normIds", $"positions")).as("p"))
       if (i == 0)

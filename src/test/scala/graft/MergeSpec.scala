@@ -99,6 +99,55 @@ class MergeSpec extends AnyFunSuite {
     assert(merged.map(h => (h.segId, h.docId)) == preTop("term").map(remap))
   }
 
+  test("compaction merge (with deletes) == index rebuilt over surviving docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dirA = java.nio.file.Files.createTempDirectory("graft-merge-del").toString
+    val c = CorpusGen.corpus(spark, nDocs, seed = 11L, avgLines = 8).toDF().cache()
+    val metaA = IndexBuilder.build(spark, c, dirA, cfg)
+    val srA0 = new Searcher(spark, dirA)
+    // a mid-frequency victim term (not everything, not nothing)
+    val delTerm = srA0.termdict.groupBy($"term").agg(sum($"docFreq").as("df"))
+      .where($"df" > 5 && $"df" < nDocs / 2)
+      .orderBy(desc("df"), asc("term")).select($"term").as[String].head()
+    assert(index.Deletes.deleteByTerm(spark, dirA, delTerm) > 0)
+    Merger.merge(spark, dirA, cfg, metaA.segments.map(_.segId), newSegId = 100)
+    val srA = new Searcher(spark, dirA)
+    assert(srA.count(TermQ(delTerm)) == 0, "deleted docs must be compacted away")
+
+    // ground truth: a fresh index over only the surviving documents
+    val hasTerm = udf((content: String) =>
+      graft.analysis.Analysis.defaultTerms(content).exists(_._1 == delTerm))
+    val dirB = java.nio.file.Files.createTempDirectory("graft-merge-del-ref").toString
+    IndexBuilder.build(spark, c.where(!hasTerm($"content")), dirB, cfg)
+    val srB = new Searcher(spark, dirB)
+
+    assert(srA.totalNumDocs == srB.totalNumDocs)
+    assert(srA.totalNumTokens == srB.totalNumTokens)
+
+    // (path, f32 score) multisets must be identical — same stats, same tf,
+    // same norms, only the address space differs between the two indexes
+    def scoredByPath(sr: Searcher, q: Query): Seq[(String, Float)] =
+      sr.compile(q)
+        .join(sr.docmap.select($"segId", $"docId", $"path"), Seq("segId", "docId"))
+        .select($"path", $"score").as[(String, Float)].collect().toSeq.sorted
+    val probe = srB.termdict.groupBy($"term").agg(sum($"docFreq").as("df"))
+      .orderBy(desc("df"), asc("term")).select($"term").as[String].head()
+    assert(scoredByPath(srA, TermQ(probe)) == scoredByPath(srB, TermQ(probe)))
+    assert(scoredByPath(srA, BoolQ(Seq(
+      Occur.Must -> TermQ(probe), Occur.Must -> TermQ("parser")))) ==
+      scoredByPath(srB, BoolQ(Seq(
+        Occur.Must -> TermQ(probe), Occur.Must -> TermQ("parser")))))
+
+    // merged postings stay dense blockSize-aligned runs after compaction
+    val bad = srA.postings
+      .groupBy($"term").agg(sum(size($"docIds")).as("df"),
+        count(lit(1)).as("nblocks"), max(size($"docIds")).as("maxlen"))
+      .where(!($"nblocks" === ceil($"df" / cfg.blockSize.toDouble)) || $"maxlen" > cfg.blockSize)
+      .count()
+    assert(bad == 0L)
+  }
+
   test("log merge policy: levels and min_num_segments (log_merge_policy.rs:94-130)") {
     val policy = Merger.LogMergePolicy(minNumSegments = 3, minLayerSize = 10)
     def seg(id: Int, rows: Long) = SegmentMeta(id, 0, rows, 0, 0, 0, sha256ok = true)
