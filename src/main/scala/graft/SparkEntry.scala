@@ -586,7 +586,7 @@ object SparkEntry {
          |nn AS (SELECT count(*) AS nd FROM documents),
          |sel AS (SELECT t FROM d0 JOIN dfall USING (t) CROSS JOIN nn
          |  WHERE tf >= 1 AND df >= 5
-         |  ORDER BY tf * ln(CAST(nd AS DOUBLE) / df) DESC, t LIMIT 10)
+         |  ORDER BY tf * ln(1e0 + (nd - df + 0.5e0) / (df + 0.5e0)) DESC, t LIMIT 10)
          |SELECT DISTINCT doc_id FROM tok WHERE t IN (SELECT t FROM sel)
          |ORDER BY doc_id""".stripMargin,
     "ft_delete" ->

@@ -239,12 +239,14 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         ScoredDoc(key._1, key._2, mx + tie * (sm - mx))
       }
     case MoreLikeThisQ(segId, docId, minDf, minTf, maxTerms) =>
-      // driver-side term selection (`more_like_this.rs:50-78`): re-analyze
+      // driver-side term selection (`more_like_this.rs:298-360`): re-analyze
       // the reference doc's stored content, keep terms with tf >= minTf and
-      // global df >= minDf, rank by tf * ln(N/df) (doubles; ties by
-      // ascending term), cap at maxTerms; match docs containing any
-      // selected term. The reference boosts per-term; the doc-set semantics
-      // are identical.
+      // global df >= minDf, score each term tf * bm25-idf(df, N)
+      // (`bm25.rs:50`, the formula the reference's create_score_term calls;
+      // ties by ascending term for determinism), cap at maxTerms, then emit
+      // the reference's boosted Should-disjunction: each term's BoostQuery
+      // carries score * boost_factor / best_score
+      // (`more_like_this.rs:109-121`, boost_factor default 1.0).
       val content = docmap
         .where($"segId" === segId && $"docId" === docId)
         .select($"content").as[String].head()
@@ -252,12 +254,21 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         .groupBy(_._1).map { case (t, xs) => t -> xs.size }
       val dfs = docFreqs(tfs.keys.toSeq.sorted)
       val n = totalNumDocs
-      val selected = tfs.toSeq
+      // selection score in double so the DuckDB oracle's ordering replays
+      // exactly; the emitted boost is the f32 of it (reference stores f32)
+      val selected: Seq[(String, Double)] = tfs.toSeq
         .filter { case (t, tf) => tf >= minTf && dfs.getOrElse(t, 0L) >= minDf }
-        .map { case (t, tf) => (t, tf.toDouble * math.log(n.toDouble / dfs(t))) }
+        .map { case (t, tf) =>
+          val df = dfs(t)
+          (t, tf * math.log(1.0 + (n - df + 0.5) / (df + 0.5))) }
         .sortBy { case (t, s) => (-s, t) }
-        .take(maxTerms).map(_._1)
-      docsForTerms(selected.sorted)
+        .take(maxTerms)
+      if (selected.isEmpty) spark.emptyDataset[ScoredDoc]
+      else {
+        val best = selected.map(_._2).max
+        compileRaw(BoolQ(selected.map { case (t, s) =>
+          Occur.Should -> (BoostQ(TermQ(t), (s / best).toFloat): Query) }), fld)
+      }
     case p: PhraseQ => compilePhrase(p, fld)
     case rp: RegexPhraseQ =>
       // per-position regex expansion against the term dictionary
@@ -271,50 +282,60 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         allTermsFor(fld).where(regexp_like($"term", lit(pat)))
           .orderBy($"term").limit(rp.maxExpansions).as[String].collect().toSeq
       }
-      if (slotTerms.exists(_.isEmpty)) spark.emptyDataset[ScoredDoc]
-      else {
-        val offsets = rp.terms.map(_._1).toArray
-        val nSlots = offsets.length
-        // term -> slots it can fill (a term may match several regexes)
-        val termSlots: Map[String, Seq[Int]] = slotTerms.zipWithIndex
-          .flatMap { case (ts, i) => ts.map(t => (t, i)) }
-          .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
-        val allMatched = termSlots.keys.toSeq.sorted
-        val slop = rp.slop
-        val rows = postings
-          .where($"field" === fld && $"term".isin(allMatched: _*))
-          .select($"segId", $"term", explode(arrays_zip($"docIds", $"positions")).as("p"))
-          .select($"segId", $"term", $"p.docIds".as("docId"), $"p.positions".as("positions"))
-          .as[(Int, String, Int, Array[Int])]
-        rows.groupByKey(r => (r._1, r._3)).flatMapGroups { (key, it) =>
-          // per-slot union of matching terms' positions, merged sorted
-          val bySlot = Array.fill(nSlots)(scala.collection.mutable.ArrayBuffer.empty[Int])
-          it.foreach { case (_, term, _, pos) =>
-            termSlots.getOrElse(term, Seq.empty).foreach(i => bySlot(i) ++= pos)
-          }
-          if (bySlot.exists(_.isEmpty)) Iterator.empty
-          else {
-            val arrays = bySlot.map(_.distinct.sorted.toArray)
-            val count = PhraseMatcher.phraseCount(offsets, arrays, slop)
-            if (count > 0) Iterator.single(ScoredDoc(key._1, key._2, 1.0f))
-            else Iterator.empty
-          }
-        }
-      }
+      slotPhraseDocs(slotTerms, rp.terms.map(_._1).toArray, rp.slop, fld)
     case pp: PhrasePrefixQ =>
       // expand the prefix against the term dictionary in ascending term
-      // order, capped at maxExpansions (`phrase_prefix_query.rs`), then
-      // union the completed phrases; a doc scores its best expansion.
+      // order, capped at maxExpansions (`phrase_prefix_query.rs`), then run
+      // ONE per-slot-union phrase pass: the prefix slot's term set is the
+      // expansion list, every fixed slot is a singleton — a single pruned
+      // postings scan + one shuffle, instead of a maxExpansions-way union
+      // of per-expansion join pipelines (Catalyst planning alone dominated
+      // that shape). Doc-set (const score) semantics, like RegexPhraseQ.
       val expansions = allTermsFor(fld)
         .where($"term".startsWith(pp.prefix._2))
         .orderBy($"term").limit(pp.maxExpansions).as[String].collect()
       if (expansions.isEmpty) spark.emptyDataset[ScoredDoc]
-      else expansions.toSeq
-        .map(e => compilePhrase(PhraseQ(pp.terms :+ ((pp.prefix._1, e)), 0), fld))
-        .reduceLeft(_ union _)
-        .groupByKey(s => (s.segId, s.docId))
-        .mapGroups { (k, it) => ScoredDoc(k._1, k._2, it.map(_.score).max) }
+      else {
+        val slots = pp.terms.map(t => Seq(t._2)) :+ expansions.toSeq
+        val offsets = (pp.terms.map(_._1) :+ pp.prefix._1).toArray
+        slotPhraseDocs(slots, offsets, slop = 0, fld)
+      }
     case b: BoolQ => compileBool(b, fld)
+  }
+
+  /** Shared executor for phrase queries whose slots are TERM SETS (regex
+    * phrase, phrase prefix): one pruned postings scan over all matched
+    * terms, one (segId, docId) shuffle, per-slot position unions merged and
+    * fed to the phrase matcher. Doc-set (const score 1.0) semantics.
+    */
+  private def slotPhraseDocs(slotTerms: Seq[Seq[String]], offsets: Array[Int],
+                             slop: Int, fld: String): Dataset[ScoredDoc] = {
+    if (slotTerms.exists(_.isEmpty)) return spark.emptyDataset[ScoredDoc]
+    val nSlots = offsets.length
+    // term -> slots it can fill (a term may match several slots)
+    val termSlots: Map[String, Seq[Int]] = slotTerms.zipWithIndex
+      .flatMap { case (ts, i) => ts.map(t => (t, i)) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val allMatched = termSlots.keys.toSeq.sorted
+    val rows = postings
+      .where($"field" === fld && $"term".isin(allMatched: _*))
+      .select($"segId", $"term", explode(arrays_zip($"docIds", $"positions")).as("p"))
+      .select($"segId", $"term", $"p.docIds".as("docId"), $"p.positions".as("positions"))
+      .as[(Int, String, Int, Array[Int])]
+    rows.groupByKey(r => (r._1, r._3)).flatMapGroups { (key, it) =>
+      // per-slot union of matching terms' positions, merged sorted
+      val bySlot = Array.fill(nSlots)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      it.foreach { case (_, term, _, pos) =>
+        termSlots.getOrElse(term, Seq.empty).foreach(i => bySlot(i) ++= pos)
+      }
+      if (bySlot.exists(_.isEmpty)) Iterator.empty
+      else {
+        val arrays = bySlot.map(_.distinct.sorted.toArray)
+        val count = PhraseMatcher.phraseCount(offsets, arrays, slop)
+        if (count > 0) Iterator.single(ScoredDoc(key._1, key._2, 1.0f))
+        else Iterator.empty
+      }
+    }
   }
 
   /** Boolean combination (`boolean_weight.rs:101-257`): doc matches iff all
