@@ -25,7 +25,16 @@ object Engine {
         col("doc_id").cast("string").as("path"),
         lit("c000000000000000000000000000000000000000").as("commit"),
         col("lang"),
-        col("text").as("content"))
+        col("text").as("content"),
+        // pre-tokenized field value (`src/tokenizer/tokenized_string.rs`):
+        // tokens supplied by the caller as array<struct<text, position>>,
+        // indexed verbatim with no analyzer — positions deliberately gapped
+        // (0, 2, 4) to prove verbatim position handling; derived
+        // deterministically so the DuckDB oracle can replay the same tokens
+        expr("""array(struct(source AS text, 0 AS position),
+                      struct(lang AS text, 2 AS position),
+                      struct(concat('b', CAST(doc_id % 7 AS STRING)) AS text,
+                             4 AS position))""").as("srctok"))
 
   private val searchers = new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
 
@@ -35,7 +44,9 @@ object Engine {
     * `text_options.rs:264-280`).
     */
   val docsConfig: IndexConfig = IndexConfig(numSegments = 4,
-    extraFields = Seq(FieldDef.STRING("lang"), FieldDef.STRING("repo")))
+    extraFields = Seq(FieldDef.STRING("lang"), FieldDef.STRING("repo"),
+      // array-typed input column => indexed as pre-tokenized values
+      FieldDef("srctok", "default", "position")))
 
   /** Parser compile options matching docsConfig's schema: per-field
     * analyzer chains + the numeric docmap fast-field columns.

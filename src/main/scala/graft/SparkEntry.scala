@@ -127,6 +127,13 @@ object SparkEntry {
     "ft_field_scoped_default" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
         Occur.Must -> TermQ("en"), Occur.Must -> TermQ("spark"))))),
+    // pre-tokenized field (tokenized_string.rs): srctok's tokens were
+    // supplied as an array<struct<text, position>> input column and indexed
+    // verbatim — no analyzer ran on them
+    "ft_pretokenized" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
+        Occur.Must -> FieldQ("srctok", TermQ("src7")),
+        Occur.Must -> FieldQ("srctok", TermQ("b3")))))),
     "ft_range" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
         RangeQ("contentLen", Some((100.0, true)), Some((200.0, true))))),
@@ -571,6 +578,9 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     "ft_field_scoped_default" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0",
+    "ft_pretokenized" ->
+      """SELECT doc_id FROM documents
+         |WHERE source = 'src7' AND doc_id % 7 = 3 ORDER BY doc_id""".stripMargin,
     "ft_range" ->
       "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id",
     "ft_exists" ->

@@ -258,6 +258,7 @@ object Analysis {
     case "whitespace" => whitespaceTokenize(text)
     case "simple"     => simpleTokenize(text)
     case "en_stem"    => defaultAnalyze(text).map(t => t.copy(text = Stemmer.stemEnglish(t.text)))
+    case "ascii"      => simpleTokenize(text).map(t => t.copy(text = asciiFold(t.text)))
     case other => throw new IllegalArgumentException(s"unknown tokenizer chain: $other")
   }
 
@@ -278,13 +279,26 @@ object Analysis {
       ok
     }
 
-  /** ASCII folding via NFD decomposition + combining-mark strip. The reference
-    * uses a hand-rolled 4k-line table (`src/tokenizer/ascii_folding_filter.rs`);
-    * this is the documented approximation (SURVEY.md §2.2) — not byte-parity,
-    * not used in the default chain.
+  /** Exact ASCII folding (`src/tokenizer/ascii_folding_filter.rs:1550-1560`
+    * `to_ascii`): each codepoint with a table entry is replaced by its ASCII
+    * string; every other codepoint — ASCII or not — passes through
+    * unchanged. Byte-parity with the reference's 1242-codepoint table
+    * (generated into [[AsciiFoldingData]] by tools/gen_ascii_fold.py).
     */
   def asciiFold(s: String): String = {
-    val norm = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
-    norm.filter(c => c < 128 || Character.getType(c) != Character.NON_SPACING_MARK)
+    var i = 0
+    var sb: java.lang.StringBuilder = null // allocate only if a fold fires
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      val rep = if (cp < 128) null else AsciiFoldingData.table.get(cp)
+      if (rep != null && sb == null) {
+        sb = new java.lang.StringBuilder(s.length + 8)
+        sb.append(s, 0, i)
+      }
+      if (sb != null) { if (rep != null) sb.append(rep) else sb.appendCodePoint(cp) }
+      i += n
+    }
+    if (sb == null) s else sb.toString
   }
 }

@@ -257,11 +257,16 @@ object IndexBuilder {
         // stored field, read only when hydrating hits / MoreLikeThis
         // (Parquet is columnar, so queries that don't project it never
         // touch those pages).
+        // extra-field input columns ride along in the docmap (they are the
+        // stored field values); fixed columns always present
+        val fixedDocmapCols = Seq("segId", "docId", "repo", "path", "commit",
+          "lang", "sha256", "normId", "tokenCount", "contentLen", "content")
+        val extraDocmapCols =
+          cfg.extraFields.map(_.name).filterNot(fixedDocmapCols.contains)
         val docmap = base
           .withColumn("tokenCount", tokenCountU($"content"))
           .withColumn("normId", fieldnormToIdUdf($"tokenCount"))
-          .select($"segId", $"docId", $"repo", $"path", $"commit", $"lang",
-            $"sha256", $"normId", $"tokenCount", $"contentLen", $"content")
+          .select((fixedDocmapCols ++ extraDocmapCols).map(col): _*)
         docmap.write.mode("overwrite").parquet(s"$indexDir/docmap/batch=$b")
         phase("docmap write (analyze+window)")
 
@@ -281,18 +286,35 @@ object IndexBuilder {
               .flatMap { case (s, d, c) => perDocTerms(s, d, c, withPos, primaryField) }
           else {
             // multi-field analysis: each extra field analyzed by ITS chain
-            // with ITS record option, concatenated into one posting stream
+            // with ITS record option, concatenated into one posting stream.
+            // Pre-tokenized input (`src/tokenizer/tokenized_string.rs`):
+            // an extra field whose input column is array<struct<text,
+            // position>> is indexed verbatim, bypassing the analyzer —
+            // the Spark-typed equivalent of the reference's per-value
+            // Value::PreTokStr dispatch in add_document.
+            val preTok: Array[Boolean] = extras.map(f =>
+              docmapW.schema(f.name).dataType
+                .isInstanceOf[org.apache.spark.sql.types.ArrayType]).toArray
             val cols = Seq($"segId", $"docId", $"content") ++
-              extras.map(f => col(f.name).cast("string"))
+              extras.zipWithIndex.map { case (f, i) =>
+                if (preTok(i)) col(f.name) else col(f.name).cast("string") }
             docmapW.select(cols: _*).flatMap { row =>
               val s = row.getInt(0); val d = row.getInt(1)
               perDocTerms(s, d, row.getString(2), withPos, primaryField) ++
                 extras.iterator.zipWithIndex.flatMap { case (f, i) =>
-                  val v = row.getString(3 + i)
-                  if (v == null) Iterator.empty
-                  else perFieldTerms(s, d, f.name,
-                    Analysis.analyzeChain(f.tokenizer, v).map(t => (t.text, t.position)),
-                    f.record)
+                  if (preTok(i)) {
+                    val toks = row.getSeq[org.apache.spark.sql.Row](3 + i)
+                    if (toks == null || toks.isEmpty) Iterator.empty
+                    else perFieldTerms(s, d, f.name,
+                      toks.map(t => (t.getAs[String]("text"), t.getAs[Int]("position"))),
+                      f.record)
+                  } else {
+                    val v = row.getString(3 + i)
+                    if (v == null) Iterator.empty
+                    else perFieldTerms(s, d, f.name,
+                      Analysis.analyzeChain(f.tokenizer, v).map(t => (t.text, t.position)),
+                      f.record)
+                  }
                 }
             }
           }
@@ -306,11 +328,18 @@ object IndexBuilder {
           .as[StatsRow].collect().toSeq
         val extraStats: Seq[StatsRow] = extras.flatMap { f =>
           val tok = f.tokenizer
-          val cntU = udf((v: String) =>
-            if (v == null) 0L else Analysis.analyzeChain(tok, v).length.toLong)
+          val isPre = docmapW.schema(f.name).dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+          // pre-tokenized: token count is the array length (no analyzer)
+          val cnt =
+            if (isPre) coalesce(size(col(f.name)).cast("long"), lit(0L))
+            else {
+              val cntU = udf((v: String) =>
+                if (v == null) 0L else Analysis.analyzeChain(tok, v).length.toLong)
+              cntU(col(f.name).cast("string"))
+            }
           docmapW.groupBy($"segId")
-            .agg(sum(cntU(col(f.name).cast("string"))).as("totalNumTokens"),
-              count(lit(1)).as("numDocs"))
+            .agg(sum(cnt).as("totalNumTokens"), count(lit(1)).as("numDocs"))
             .select($"segId", lit(f.name).as("field"), $"totalNumTokens", $"numDocs")
             .as[StatsRow].collect().toSeq
         }

@@ -114,4 +114,35 @@ class AnalysisSpec extends AnyFunSuite {
     assert(enc(255) == 255 && enc(1000) == 255)
     assert(dec(255) == 0xffffffffL)
   }
+
+  // reference vectors: ascii_folding_filter.rs:1569-1651 test module
+  test("ascii folding reference vectors (ascii_folding_filter.rs:1569-1651)") {
+    def fold(text: String): Seq[String] =
+      Analysis.analyzeChain("ascii", text).map(_.text)
+    assert(fold("Ràmon") == Seq("Ramon"))
+    assert(fold("accentué") == Seq("accentue"))
+    assert(fold("âäàéè") == Seq("aaaee"))
+    assert(fold("Usagi") == Seq("Usagi")) // test_no_change
+    assert(Analysis.asciiFold("Rámon") == "Ramon") // test_to_ascii
+    // test_unmodified_letters: unmapped non-ascii passes through
+    assert(Analysis.asciiFold("§ ¦ ¤ END") == "§ ¦ ¤ END")
+    // test_latin1_characters (the single-token portion)
+    val latin = ("À Á Â Ã Ä Å Æ Ç È É Ê Ë Ì Í Î Ï Ĳ Ð Ñ Ò Ó Ô Õ Ö Ø Œ Þ " +
+      "Ù Ú Û Ü Ý Ÿ à á â ã ä å æ ç è é ê ë ì í î ï ĳ ð ñ ò ó ô õ ö ø œ ß þ " +
+      "ù ú û ü ý ÿ ﬁ ﬂ").split(' ').toSeq
+    val expect = (Seq.fill(6)("A") ++ Seq("AE", "C") ++ Seq.fill(4)("E") ++
+      Seq.fill(4)("I") ++ Seq("IJ", "D", "N") ++ Seq.fill(6)("O") ++
+      Seq("OE", "TH") ++ Seq.fill(4)("U") ++ Seq.fill(2)("Y") ++
+      Seq.fill(6)("a") ++ Seq("ae", "c") ++ Seq.fill(4)("e") ++
+      Seq.fill(4)("i") ++ Seq("ij", "d", "n") ++ Seq.fill(6)("o") ++
+      Seq("oe", "ss", "th") ++ Seq.fill(4)("u") ++ Seq.fill(2)("y") ++
+      Seq("fi", "fl"))
+    assert(latin.map(Analysis.asciiFold) == expect)
+    assert(fold("Des mot clés À LA CHAÎNE") ==
+      Seq("Des", "mot", "cles", "A", "LA", "CHAINE"))
+    // table spot-checks across script groups
+    assert(Analysis.asciiFold("⁓") == "~")
+    assert(Analysis.asciiFold("ＦＵＬＬ") == "FULL")
+    assert(Analysis.asciiFold("“quoted”") == "\"quoted\"")
+  }
 }

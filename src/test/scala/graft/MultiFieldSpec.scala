@@ -78,4 +78,42 @@ class MultiFieldSpec extends AnyFunSuite {
     assert(row.getSeq[Int](0).toList == List(1))
     assert(row.getSeq[scala.collection.Seq[Int]](1).forall(_.isEmpty))
   }
+
+  // pre-tokenized input (`src/tokenizer/tokenized_string.rs`): an extra
+  // field fed by an array<struct<text, position>> column is indexed
+  // verbatim — no analyzer, caller-supplied positions
+  private lazy val preSr = {
+    val d = java.nio.file.Files.createTempDirectory("graft-pre").toString
+    val docs = Seq(
+      ("r0", "p0", "c0", "x", "alpha", Seq(("Hello", 0), ("World", 2))),
+      ("r0", "p1", "c0", "x", "beta",  Seq(("hello", 0), ("world", 1))),
+      ("r1", "p2", "c0", "x", "gamma", null: Seq[(String, Int)]))
+      .toDF("repo", "path", "commit", "lang", "content", "toks")
+      .withColumn("toks", $"toks".cast("array<struct<text:string,position:int>>"))
+    IndexBuilder.build(spark, docs, d, IndexConfig(numSegments = 2,
+      extraFields = Seq(FieldDef("toks", "default", "position"))))
+    new Searcher(spark, d)
+  }
+  private def prePaths(q: Query): Set[String] =
+    preSr.compile(q)
+      .join(preSr.docmap.select($"segId", $"docId", $"path"), Seq("segId", "docId"))
+      .select($"path").as[String].collect().toSet
+
+  test("pre-tokenized tokens are indexed verbatim, bypassing the analyzer") {
+    // 'Hello' was NOT lowercased — the default chain never ran on it
+    assert(prePaths(FieldQ("toks", TermQ("Hello"))) == Set("p0"))
+    assert(prePaths(FieldQ("toks", TermQ("hello"))) == Set("p1"))
+    // null token arrays skip the field, doc still indexed elsewhere
+    assert(prePaths(TermQ("gamma")) == Set("p2"))
+  }
+
+  test("pre-tokenized caller positions are honored (gapped phrase needs slop)") {
+    // p0's positions are 0 and 2: adjacent phrase misses, slop 1 hits
+    assert(prePaths(FieldQ("toks",
+      PhraseQ(Seq(0 -> "Hello", 1 -> "World"), slop = 0))) == Set.empty)
+    assert(prePaths(FieldQ("toks",
+      PhraseQ(Seq(0 -> "Hello", 1 -> "World"), slop = 1))) == Set("p0"))
+    assert(prePaths(FieldQ("toks",
+      PhraseQ(Seq(0 -> "hello", 1 -> "world"), slop = 0))) == Set("p1"))
+  }
 }
