@@ -16,6 +16,17 @@ import graft.query.{Query, Searcher}
   * idx.compact()                         // merge policy (LogMergePolicy defaults)
   * }}}
   */
+/** User warming hook (`src/reader/warming.rs:14-20` `Warmer`): runs against
+  * every new pinned Searcher before it is returned (preload caches, run hot
+  * queries, build auxiliary state), keyed by [[Searcher.generation]];
+  * `garbageCollect` tells the warmer which generations are still live so it
+  * can discard per-generation state.
+  */
+trait Warmer {
+  def warm(searcher: Searcher): Unit
+  def garbageCollect(liveGenerations: Seq[Long]): Unit = ()
+}
+
 object Graft {
 
   /** `Index::create_in_dir` — new empty index rooted at `dir`. */
@@ -54,8 +65,27 @@ final class GraftIndex(val spark: SparkSession, val dir: String, val cfg: IndexC
   def compact(policy: Merger.LogMergePolicy = Merger.LogMergePolicy()): Manifest.IndexMeta =
     Merger.compact(spark, dir, cfg, policy)
 
-  /** A pinned snapshot over the current manifest (`Index::reader`). */
-  def searcher: Searcher = new Searcher(spark, dir, cfg.field)
+  private val warmers = new java.util.concurrent.CopyOnWriteArrayList[Warmer]()
+
+  /** Register a [[Warmer]] to run on every subsequently pinned Searcher
+    * (`IndexReaderBuilder::warmers`, `reader/warming.rs`).
+    */
+  def registerWarmer(w: Warmer): Unit = warmers.add(w)
+
+  /** A pinned snapshot over the current manifest (`Index::reader`): default
+    * warming materializes the termdict/stats caches (the reference mmap +
+    * hot-metadata equivalent); registered warmers then run, and each is told
+    * the new generation is the only live one (single-snapshot reader
+    * semantics — the reference GC's against all inventoried generations).
+    */
+  def searcher: Searcher = {
+    val sr = new Searcher(spark, dir, cfg.field)
+    if (!warmers.isEmpty) {
+      warmers.forEach(_.warm(sr))
+      warmers.forEach(_.garbageCollect(Seq(sr.generation)))
+    }
+    sr
+  }
 
   def meta: Manifest.IndexMeta = Manifest.read(dir)
 }

@@ -279,6 +279,38 @@ object Analysis {
       ok
     }
 
+  /** SplitCompoundWords (`src/tokenizer/split_compound_words.rs:46-188`):
+    * a token is replaced by its dictionary parts iff leftmost-longest
+    * matches starting at offset 0 tile the ENTIRE token text; any gap or
+    * uncovered tail leaves the token unchanged. Parts inherit the original
+    * token's position and offsets (the reference's `Token {..*token}`).
+    * Leftmost-longest Aho-Corasick over a word dictionary reduces to a
+    * greedy longest-prefix match at each contiguous cut point.
+    */
+  def splitCompoundWords(tokens: Seq[Token], dict: Seq[String]): Seq[Token] = {
+    val byLenDesc = dict.filter(_.nonEmpty).distinct.sortBy(-_.length)
+    if (byLenDesc.isEmpty) return tokens
+    tokens.flatMap { t =>
+      val text = t.text
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var pos = 0
+      var stuck = false
+      while (!stuck && pos < text.length) {
+        byLenDesc.find(w => text.startsWith(w, pos)) match {
+          case Some(w) => cuts += pos; pos += w.length
+          case None    => stuck = true
+        }
+      }
+      if (stuck || pos != text.length || cuts.isEmpty) Seq(t)
+      else {
+        val bounds = cuts.toSeq :+ text.length
+        bounds.sliding(2).map { case Seq(a, b) =>
+          t.copy(text = text.substring(a, b))
+        }.toSeq
+      }
+    }
+  }
+
   /** Exact ASCII folding (`src/tokenizer/ascii_folding_filter.rs:1550-1560`
     * `to_ascii`): each codepoint with a table entry is replaced by its ASCII
     * string; every other codepoint — ASCII or not — passes through

@@ -32,4 +32,17 @@ object Deletes {
   /** delete_term convenience. */
   def deleteByTerm(spark: SparkSession, indexDir: String, term: String): Long =
     deleteByQuery(spark, indexDir, graft.query.TermQ(term))
+
+  /** Fingerprint of the tombstone state (file names + lengths), folded into
+    * Searcher generation ids; 0 when no deletes exist. Driver-side FS
+    * metadata only — no Spark job.
+    */
+  def stamp(indexDir: String): Long = {
+    val p = new java.io.File(s"$indexDir/deletes")
+    if (!p.exists()) 0L
+    else Option(p.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).sortBy(_.getName)
+      .foldLeft(1L)((h, f) =>
+        (h * 1000003L + f.getName.hashCode.toLong) * 1000003L + f.length())
+  }
 }

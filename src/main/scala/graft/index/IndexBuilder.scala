@@ -267,7 +267,11 @@ object IndexBuilder {
           .withColumn("tokenCount", tokenCountU($"content"))
           .withColumn("normId", fieldnormToIdUdf($"tokenCount"))
           .select((fixedDocmapCols ++ extraDocmapCols).map(col): _*)
-        docmap.write.mode("overwrite").parquet(s"$indexDir/docmap/batch=$b")
+        // the docmap IS the docstore: the configured store compressor
+        // (compressors.rs None/Lz4/Zstd) applies to exactly these files
+        docmap.write.mode("overwrite")
+          .option("compression", cfg.parquetCodec)
+          .parquet(s"$indexDir/docmap/batch=$b")
         phase("docmap write (analyze+window)")
 
         val docmapW = spark.read.parquet(s"$indexDir/docmap/batch=$b")
@@ -342,6 +346,13 @@ object IndexBuilder {
             .agg(sum(cnt).as("totalNumTokens"), count(lit(1)).as("numDocs"))
             .select($"segId", lit(f.name).as("field"), $"totalNumTokens", $"numDocs")
             .as[StatsRow].collect().toSeq
+        }
+        // MAX_DOC_LIMIT (`merger.rs:24-27,181-185`): enforced at build
+        // time, where the segment is actually materialized
+        primaryStats.find(_.numDocs >= cfg.maxDocsPerSegment).foreach { s =>
+          throw new IllegalStateException(
+            s"segment ${s.segId} has ${s.numDocs} docs, exceeding the limit " +
+              s"${cfg.maxDocsPerSegment}; raise numSegments")
         }
         val statsRows = primaryStats ++ extraStats
         val avgFn: Map[(Int, String), Float] = statsRows

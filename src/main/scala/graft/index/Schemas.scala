@@ -99,15 +99,32 @@ final case class IndexConfig(
       * `src/schema/field_type.rs:170-190`). Their source values must be
       * string columns of the input (they are docmap columns already).
       */
-    extraFields: Seq[FieldDef] = Seq.empty
+    extraFields: Seq[FieldDef] = Seq.empty,
+    /** Docstore compressor (`src/store/compressors.rs:10-18`: None/Lz4/
+      * Zstd); applied to the docmap Parquet files — the docstore. The
+      * reference default is Lz4; ours is Parquet's snappy (same class of
+      * fast block codec). "none" | "snappy" | "lz4" | "zstd".
+      */
+    storeCodec: String = "snappy",
+    /** Per-segment doc-count cap (`merger.rs:24-27` MAX_DOC_LIMIT = 1<<31):
+      * enforced at build time — a segment reaching the cap fails the build
+      * with guidance to raise numSegments (the reference errors the same
+      * way at merge, `merger.rs:181-185`).
+      */
+    maxDocsPerSegment: Long = 1L << 31
 ) {
+  require(Set("none", "snappy", "lz4", "zstd").contains(storeCodec),
+    s"unknown store codec: $storeCodec")
+  /** Parquet compression option value for the docstore writes. */
+  def parquetCodec: String = if (storeCodec == "none") "uncompressed" else storeCodec
   def configHash: String = {
-    // extraFields only appended when present so single-field hashes (and
-    // the memoized on-disk indexes they name) are unchanged
+    // extraFields/codec only appended when non-default so existing hashes
+    // (and the memoized on-disk indexes they name) are unchanged
     val ef = if (extraFields.isEmpty) ""
       else extraFields.map(f => s"${f.name},${f.tokenizer},${f.record}")
         .mkString("|ef:", ";", "")
-    val s = s"v1|$numSegments|$field|$blockSize|$withPositions|$buildBatches$ef"
+    val cc = if (storeCodec == "snappy") "" else s"|cc:$storeCodec"
+    val s = s"v1|$numSegments|$field|$blockSize|$withPositions|$buildBatches$ef$cc"
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
   }

@@ -30,6 +30,16 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
 
   val liveSegIds: Seq[Int] = indexMeta.map(_.segments.map(_.segId)).getOrElse(Seq.empty)
 
+  /** Searcher generation id (`reader/warming.rs` SearcherGeneration): a
+    * stable fingerprint of the pinned snapshot — the live segment set plus
+    * the delete tombstone state — used by [[Warmer.garbageCollect]] to
+    * discard per-generation warmed state.
+    */
+  lazy val generation: Long = {
+    val delStamp = graft.index.Deletes.stamp(indexDir)
+    liveSegIds.sorted.foldLeft(delStamp)((h, s) => h * 1000003L + s)
+  }
+
   private def pin(df: DataFrame): DataFrame =
     if (liveSegIds.nonEmpty) df.where($"segId".isin(liveSegIds: _*)) else df
 

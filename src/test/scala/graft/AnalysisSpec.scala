@@ -115,6 +115,31 @@ class AnalysisSpec extends AnyFunSuite {
     assert(dec(255) == 0xffffffffL)
   }
 
+  // reference vectors: split_compound_words.rs:195-270 test module + doc example
+  test("split compound words reference vectors (split_compound_words.rs:195-270)") {
+    def split(text: String, dict: Seq[String]): Seq[String] =
+      Analysis.splitCompoundWords(Analysis.simpleTokenize(text), dict).map(_.text)
+    val fb = Seq("foo", "bar")
+    assert(split("", fb) == Seq.empty)
+    assert(split("foo bar", fb) == Seq("foo", "bar"))
+    assert(split("foobar", fb) == Seq("foo", "bar"))
+    assert(split("foobarbaz", fb) == Seq("foobarbaz")) // uncovered tail: unsplit
+    assert(split("baz foobar qux", fb) == Seq("baz", "foo", "bar", "qux"))
+    assert(split("foobar foobar", fb) == Seq("foo", "bar", "foo", "bar"))
+    assert(split("foobar foo bar foobar", fb) ==
+      Seq("foo", "bar", "foo", "bar", "foo", "bar"))
+    assert(split("foobazbar foo bar foobar", fb) ==
+      Seq("foobazbar", "foo", "bar", "foo", "bar"))
+    // doc-comment German example (split_compound_words.rs:21-41)
+    val de = Seq("dampf", "schiff", "fahrt", "brot", "backen", "automat")
+    assert(split("dampfschifffahrt", de) == Seq("dampf", "schiff", "fahrt"))
+    assert(split("brotbackautomat", de) == Seq("brotbackautomat"))
+    // split parts inherit the original token's position
+    val toks = Analysis.splitCompoundWords(Analysis.simpleTokenize("baz foobar"), fb)
+    assert(toks.map(t => (t.text, t.position)) ==
+      Seq(("baz", 0), ("foo", 1), ("bar", 1)))
+  }
+
   // reference vectors: ascii_folding_filter.rs:1569-1651 test module
   test("ascii folding reference vectors (ascii_folding_filter.rs:1569-1651)") {
     def fold(text: String): Seq[String] =
