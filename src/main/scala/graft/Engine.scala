@@ -34,7 +34,13 @@ object Engine {
         expr("""array(struct(source AS text, 0 AS position),
                       struct(lang AS text, 2 AS position),
                       struct(concat('b', CAST(doc_id % 7 AS STRING)) AS text,
-                             4 AS position))""").as("srctok"))
+                             4 AS position))""").as("srctok"),
+        // schema-less JSON field value (doc/src/json.md): a JSON object per
+        // doc, flattened into typed path terms at index time; derived
+        // deterministically so DuckDB replays the equivalent predicates
+        expr("""to_json(named_struct(
+                  'src', source,
+                  'info', named_struct('lang', lang, 'n', n_chars)))""").as("meta"))
 
   private val searchers = new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
 
@@ -46,7 +52,9 @@ object Engine {
   val docsConfig: IndexConfig = IndexConfig(numSegments = 4,
     extraFields = Seq(FieldDef.STRING("lang"), FieldDef.STRING("repo"),
       // array-typed input column => indexed as pre-tokenized values
-      FieldDef("srctok", "default", "position")))
+      FieldDef("srctok", "default", "position"),
+      // schema-less JSON object field (doc/src/json.md)
+      FieldDef("meta", "json", "position")))
 
   /** Parser compile options matching docsConfig's schema: per-field
     * analyzer chains + the numeric docmap fast-field columns.

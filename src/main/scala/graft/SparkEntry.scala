@@ -134,6 +134,29 @@ object SparkEntry {
       Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
         Occur.Must -> FieldQ("srctok", TermQ("src7")),
         Occur.Must -> FieldQ("srctok", TermQ("b3")))))),
+    // schema-less JSON field (doc/src/json.md): dotted json-path literals
+    // through the full parser -> typed path-encoded terms
+    "ft_json_path" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("meta.src:src7 AND meta.info.lang:en",
+          opts = Engine.parseOpts))),
+    // number typed term (u64 priority), query-side type expansion
+    "ft_json_num" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("meta.info.n:246", opts = Engine.parseOpts))),
+    // snippet generation over the top hits (src/snippet/mod.rs); rows-only
+    // by design — highlight HTML has no SQL oracle
+    "ft_snippet" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      val gen = SnippetGenerator.create(sr, TermQ("spark"), "content",
+        chain = "default", maxNumChars = 100)
+      val hits = sr.topDocs(TermQ("spark"), 10)
+      val snip = udf((c: String) => gen.snippet(c).toHtml)
+      sr.fetch(hits)
+        .select(col("path").cast("long").as("doc_id"),
+          snip(col("content")).as("snippet_html"))
+        .orderBy("doc_id")
+    },
     "ft_range" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
         RangeQ("contentLen", Some((100.0, true)), Some((200.0, true))))),
@@ -377,6 +400,18 @@ object SparkEntry {
           MetricAgg("max_v", max(col("value"))),
           MetricAgg("avg_v", round(milli.cast("double") / 1000.0 / count(lit(1)), 6)))))
     },
+    // arbitrary sub-agg TREE (agg_req.rs nests siblings): terms with TWO
+    // sibling child bucket aggs, one pass via grouping sets
+    "agg_tree_siblings" -> { (s, dir) =>
+      import Aggregations._
+      runTree(s.read.parquet(s"$dir/events.parquet"), Seq(
+        AggNode(TermsAgg("event_type", "event_type"), Seq(MetricAgg.count), Seq(
+          AggNode(HistogramAgg("value", 25.0, 0.0, "bucket"), Seq(MetricAgg.count)),
+          AggNode(DateHistogramAgg("ts", "day"), Seq(MetricAgg.count))))))
+        .withColumn("bucket", coalesce(col("bucket"), lit(-1.0)))
+        .withColumn("day", coalesce(col("day"), lit("(all)")))
+        .orderBy("agg_path", "event_type", "bucket", "day")
+    },
     // two-level bucket nesting: terms > histogram, count per leaf bucket
     "agg_nested_terms_hist" -> { (s, dir) =>
       import Aggregations._
@@ -581,6 +616,11 @@ object SparkEntry {
     "ft_pretokenized" ->
       """SELECT doc_id FROM documents
          |WHERE source = 'src7' AND doc_id % 7 = 3 ORDER BY doc_id""".stripMargin,
+    "ft_json_path" ->
+      """SELECT doc_id FROM documents
+         |WHERE source = 'src7' AND lang = 'en' ORDER BY doc_id""".stripMargin,
+    "ft_json_num" ->
+      "SELECT doc_id FROM documents WHERE n_chars = 246 ORDER BY doc_id",
     "ft_range" ->
       "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id",
     "ft_exists" ->
@@ -737,6 +777,17 @@ object SparkEntry {
     "agg_nested_terms_hist" ->
       """SELECT event_type, floor(value / 25e0) * 25e0 AS bucket, count(*) AS cnt
         |FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+    "agg_tree_siblings" ->
+      """WITH t AS (
+        |  SELECT 'event_type' AS agg_path, event_type, -1e0 AS bucket,
+        |         '(all)' AS day, count(*) AS cnt FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'event_type>bucket', event_type, floor(value / 25e0) * 25e0,
+        |         '(all)', count(*) FROM events GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT 'event_type>day', event_type, -1e0, strftime(ts, '%Y-%m-%d'),
+        |         count(*) FROM events GROUP BY 1, 2, 4)
+        |SELECT * FROM t ORDER BY agg_path, event_type, bucket, day""".stripMargin,
     "agg_nested_rollup" ->
       """WITH b AS (SELECT event_type, floor(value / 25e0) * 25e0 AS bucket FROM events)
         |SELECT coalesce(event_type, '(all)') AS event_type,

@@ -259,6 +259,8 @@ object Analysis {
     case "simple"     => simpleTokenize(text)
     case "en_stem"    => defaultAnalyze(text).map(t => t.copy(text = Stemmer.stemEnglish(t.text)))
     case "ascii"      => simpleTokenize(text).map(t => t.copy(text = asciiFold(t.text)))
+    case "ip"         => rawTokenize(text).flatMap(t =>
+      canonicalIpv6(t.text).map(c => t.copy(text = c)))
     case other => throw new IllegalArgumentException(s"unknown tokenizer chain: $other")
   }
 
@@ -277,6 +279,21 @@ object Analysis {
         if (!isAlphanumeric(cp)) ok = false else i += Character.charCount(cp)
       }
       ok
+    }
+
+  /** IpAddr field normalization (`src/schema/ip_options.rs:9-21`): every
+    * address indexes as its IPv6 form — IPv4 maps to `::ffff:a.b.c.d`
+    * (`into_ipv6_addr`) — rendered in RFC 5952 canonical text like Rust's
+    * `Ipv6Addr` Display. Unparseable values emit no term. Literal-only
+    * parsing (no DNS), via guava's InetAddresses on the Spark classpath.
+    */
+  def canonicalIpv6(s: String): Option[String] =
+    if (!com.google.common.net.InetAddresses.isInetAddress(s)) None
+    else com.google.common.net.InetAddresses.forString(s) match {
+      case v4: java.net.Inet4Address => Some("::ffff:" + v4.getHostAddress)
+      case v6: java.net.Inet6Address =>
+        Some(com.google.common.net.InetAddresses.toAddrString(v6))
+      case _ => None
     }
 
   /** SplitCompoundWords (`src/tokenizer/split_compound_words.rs:46-188`):

@@ -315,9 +315,14 @@ object IndexBuilder {
                   } else {
                     val v = row.getString(3 + i)
                     if (v == null) Iterator.empty
-                    else perFieldTerms(s, d, f.name,
-                      Analysis.analyzeChain(f.tokenizer, v).map(t => (t.text, t.position)),
-                      f.record)
+                    else {
+                      // "json" chain: schema-less flatten into typed
+                      // path-encoded terms (JsonField, doc/src/json.md)
+                      val terms =
+                        if (f.tokenizer == "json") JsonField.flatten(v, "default")
+                        else Analysis.analyzeChain(f.tokenizer, v).map(t => (t.text, t.position))
+                      perFieldTerms(s, d, f.name, terms, f.record)
+                    }
                   }
                 }
             }
@@ -339,7 +344,9 @@ object IndexBuilder {
             if (isPre) coalesce(size(col(f.name)).cast("long"), lit(0L))
             else {
               val cntU = udf((v: String) =>
-                if (v == null) 0L else Analysis.analyzeChain(tok, v).length.toLong)
+                if (v == null) 0L
+                else if (tok == "json") JsonField.flatten(v, "default").length.toLong
+                else Analysis.analyzeChain(tok, v).length.toLong)
               cntU(col(f.name).cast("string"))
             }
           docmapW.groupBy($"segId")

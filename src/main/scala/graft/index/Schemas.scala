@@ -78,6 +78,10 @@ object FieldDef {
   def TEXT(name: String): FieldDef = FieldDef(name, "default", "position")
   /** `text_options.rs:268` — the STRING preset: raw tokenizer, docs-only. */
   def STRING(name: String): FieldDef = FieldDef(name, "raw", "basic")
+  /** `ip_options.rs` — IpAddr field: canonical-IPv6 terms, docs-only. */
+  def IPADDR(name: String): FieldDef = FieldDef(name, "ip", "basic")
+  /** `json_object_options.rs` — schema-less JSON object field. */
+  def JSON(name: String): FieldDef = FieldDef(name, "json", "position")
 }
 
 /** Manifest entry — per-segment lineage + metrics (north-rule requirement):

@@ -117,6 +117,72 @@ object Aggregations {
     else grouped.orderBy(req.buckets.map(b => asc_nulls_last(b.name)): _*)
   }
 
+  /** A node of an arbitrary sub-aggregation TREE (`agg_req.rs:120-171`):
+    * a bucket agg carrying its own metric sub-aggs plus any number of
+    * SIBLING child bucket aggs — the shape a chain cannot express.
+    */
+  final case class AggNode(bucket: BucketAgg, metrics: Seq[MetricAgg] = Nil,
+      children: Seq[AggNode] = Nil)
+
+  /** Compile an aggregation forest to ONE Spark pass via GROUPING SETS:
+    * every tree node contributes the grouping set {ancestor keys + own key},
+    * so sibling sub-aggregations (terms > {histogram, date_histogram}) run
+    * in a single shuffle instead of one job per branch — the Spark-native
+    * equivalent of the reference's one-segment-walk tree collector
+    * (`src/aggregation/segment_agg_result.rs`). Output is flat: `agg_path`
+    * labels the node ("a>b"), inactive key columns are NULL, and every
+    * requested metric column is computed for every set (well-defined per
+    * group; ES reports the node's own subset — project downstream if
+    * needed).
+    */
+  def runTree(df: DataFrame, roots: Seq[AggNode],
+              filter: Option[Column] = None): DataFrame = {
+    require(roots.nonEmpty, "empty agg forest")
+    // DFS: collect (path of bucket names, node) for every node
+    def walk(n: AggNode, prefix: Seq[BucketAgg]): Seq[(Seq[BucketAgg], AggNode)] = {
+      val path = prefix :+ n.bucket
+      (path, n) +: n.children.flatMap(walk(_, path))
+    }
+    val nodes = roots.flatMap(walk(_, Nil))
+    val keyOrder: Seq[BucketAgg] = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, BucketAgg]
+      nodes.foreach { case (path, _) => path.foreach(b =>
+        if (!seen.contains(b.name)) seen(b.name) = b) }
+      seen.values.toSeq
+    }
+    require(keyOrder.map(_.name).distinct.length == keyOrder.length,
+      "bucket names must be unique across the tree")
+    val metricByName = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    nodes.foreach { case (_, n) => n.metrics.foreach(m =>
+      metricByName.getOrElseUpdate(m.name, m.expr)) }
+    require(metricByName.nonEmpty, "agg tree needs at least one metric")
+
+    val base = filter.map(df.where).getOrElse(df)
+    // pre-project the key exprs so grouping sets reference plain columns
+    val projected = keyOrder.foldLeft(base)((d, b) => d.withColumn(b.name, b.key))
+    val keyCols = keyOrder.map(b => col(b.name))
+    val sets: Seq[Seq[Column]] = nodes.map { case (path, _) => path.map(b => col(b.name)) }
+    // grouping_id bit i (MSB-first over the listed grouping columns) is 1
+    // when that column is aggregated away — compute each node's expected id
+    def gidOf(path: Seq[BucketAgg]): Long = {
+      val active = path.map(_.name).toSet
+      keyOrder.foldLeft(0L)((acc, b) => (acc << 1) | (if (active(b.name)) 0L else 1L))
+    }
+    val pathLabel = nodes.foldRight(lit(null: String)) { case ((path, _), rest) =>
+      when(grouping_id() === gidOf(path), lit(path.map(_.name).mkString(">")))
+        .otherwise(rest)
+    }
+    // grouping_id() is only resolvable inside the aggregate list, so the
+    // path label is computed as the first agg expression
+    val aggs = pathLabel.as("agg_path") +:
+      metricByName.toSeq.map { case (n, e) => e.as(n) }
+    val out = projected
+      .groupingSets(sets, keyCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col("agg_path") +: keyCols) ++ metricByName.keys.map(col): _*)
+    out.orderBy(asc("agg_path") +: keyOrder.map(b => asc_nulls_last(b.name)): _*)
+  }
+
   /** The ES-shaped nested response: leaf rows regrouped so each parent
     * bucket carries an array<struct> of its child buckets — for API parity
     * demonstrations and tests (array columns are not driver-comparable, so

@@ -625,6 +625,38 @@ object Grammar {
   private def chainOf(field: String, opts: CompileOpts): String =
     opts.fieldTokenizers.getOrElse(field, "default")
 
+  /** Longest-field-name resolution of dotted paths
+    * (`query_parser.rs:712-740`): `a.b.c` resolves to the longest known
+    * field-name prefix; when that field is a `"json"` field the remaining
+    * segments are the JSON path inside it. Unknown names resolve to
+    * themselves (plain scoped term, like before).
+    */
+  private def resolveField(f: String, opts: CompileOpts): (String, Seq[String]) = {
+    if (opts.fieldTokenizers.contains(f)) return (f, Nil)
+    val parts = f.split('.')
+    var k = parts.length - 1
+    while (k >= 1) {
+      val cand = parts.take(k).mkString(".")
+      if (opts.fieldTokenizers.contains(cand)) return (cand, parts.drop(k).toSeq)
+      k -= 1
+    }
+    (f, Nil)
+  }
+
+  /** JSON-path literal compilation (`doc/src/json.md:68-85`): expand the
+    * literal into every plausible typed term under the encoded path —
+    * a Should of term variants, or a phrase for multi-token text.
+    */
+  private def jsonLiteral(fd: String, path: Seq[String], phrase: String,
+                          slop: Int): Option[Query] =
+    graft.index.JsonField.queryVariants(path, phrase, "default") match {
+      case Left(Seq()) => None
+      case Left(Seq(one)) => Some(FieldQ(fd, TermQ(one)))
+      case Left(many) =>
+        Some(FieldQ(fd, BoolQ(many.map(t => Occur.Should -> (TermQ(t): Query)))))
+      case Right(terms) => Some(FieldQ(fd, PhraseQ(terms, slop)))
+    }
+
   private def compileLeaf(l: ULeaf, opts: CompileOpts): Option[Query] = l match {
     case UAll => Some(AllQ)
     case UExists(f) => Some(ExistsQ(f))
@@ -656,19 +688,24 @@ object Grammar {
       }
     case ULiteral(f, phrase, _, slop, prefix) =>
       val fields = f.map(Seq(_)).getOrElse(opts.defaultFields)
-      val qs = fields.flatMap { fd =>
-        val toks = Analysis.analyzeChain(chainOf(fd, opts), phrase)
-        val q: Option[Query] = toks.length match {
-          case 0 => None
-          case 1 if prefix =>
-            Some(PhrasePrefixQ(Seq.empty, prefix = (toks.head.position, toks.head.text)))
-          case 1 => Some(TermQ(toks.head.text))
-          case _ if prefix =>
-            Some(PhrasePrefixQ(toks.init.map(t => (t.position, t.text)),
-              prefix = (toks.last.position, toks.last.text)))
-          case _ => Some(PhraseQ(toks.map(t => (t.position, t.text)), slop))
+      val qs = fields.flatMap { fd0 =>
+        val (fd, jsonPath) = resolveField(fd0, opts)
+        if (jsonPath.nonEmpty && chainOf(fd, opts) == "json")
+          jsonLiteral(fd, jsonPath, phrase, slop)
+        else {
+          val toks = Analysis.analyzeChain(chainOf(fd, opts), phrase)
+          val q: Option[Query] = toks.length match {
+            case 0 => None
+            case 1 if prefix =>
+              Some(PhrasePrefixQ(Seq.empty, prefix = (toks.head.position, toks.head.text)))
+            case 1 => Some(TermQ(toks.head.text))
+            case _ if prefix =>
+              Some(PhrasePrefixQ(toks.init.map(t => (t.position, t.text)),
+                prefix = (toks.last.position, toks.last.text)))
+            case _ => Some(PhraseQ(toks.map(t => (t.position, t.text)), slop))
+          }
+          q.map(scoped(fd, _, opts))
         }
-        q.map(scoped(fd, _, opts))
       }
       combineFanout(qs)
   }

@@ -140,6 +140,15 @@ class AnalysisSpec extends AnyFunSuite {
       Seq(("baz", 0), ("foo", 1), ("bar", 1)))
   }
 
+  test("ip chain canonicalizes to IPv6 (ip_options.rs:9-21 into_ipv6_addr)") {
+    def ip(s: String): Seq[String] = Analysis.analyzeChain("ip", s).map(_.text)
+    assert(ip("192.168.0.1") == Seq("::ffff:192.168.0.1"))
+    assert(ip("2001:0db8:0000:0000:0000:0000:0000:0001") == Seq("2001:db8::1"))
+    assert(ip("::1") == Seq("::1"))
+    assert(ip("not-an-ip") == Seq.empty)
+    assert(Analysis.canonicalIpv6("10.0.0.255").contains("::ffff:10.0.0.255"))
+  }
+
   // reference vectors: ascii_folding_filter.rs:1569-1651 test module
   test("ascii folding reference vectors (ascii_folding_filter.rs:1569-1651)") {
     def fold(text: String): Seq[String] =
