@@ -35,6 +35,18 @@ object Engine {
                       struct(lang AS text, 2 AS position),
                       struct(concat('b', CAST(doc_id % 7 AS STRING)) AS text,
                              4 AS position))""").as("srctok"),
+        // typed single-value fields (`field_type.rs:170-190`) — values
+        // derived deterministically from the row so DuckDB replays the
+        // equivalent predicates without knowing the term encodings
+        col("n_chars").cast("string").as("nchars"),                    // U64
+        expr("""date_format(date_add(DATE'2020-01-01', CAST(doc_id % 60 AS INT)),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'")""").as("mtime"),           // DATE
+        expr("CASE WHEN n_chars % 2 = 0 THEN 'true' ELSE 'false' END").as("even"), // BOOL
+        format_string("%04x", (col("doc_id") % 65521).cast("int")).as("blob"), // BYTES (hex)
+        // the same text again under an en_stem-analyzed field
+        // (src/tokenizer/stemmer.rs) — query-side forms like "queries"
+        // unify with corpus forms like "query" through Porter2
+        col("text").as("stemmed"),
         // schema-less JSON field value (doc/src/json.md): a JSON object per
         // doc, flattened into typed path terms at index time; derived
         // deterministically so DuckDB replays the equivalent predicates
@@ -53,6 +65,11 @@ object Engine {
     extraFields = Seq(FieldDef.STRING("lang"), FieldDef.STRING("repo"),
       // array-typed input column => indexed as pre-tokenized values
       FieldDef("srctok", "default", "position"),
+      // Porter2-stemmed twin of the content text (`stemmer.rs:12-31`)
+      FieldDef("stemmed", "en_stem", "position"),
+      // typed fields: order-preserving hex/ISO terms (field_type.rs)
+      FieldDef.U64("nchars"), FieldDef.DATE("mtime"),
+      FieldDef.BOOL("even"), FieldDef.BYTES("blob"),
       // schema-less JSON object field (doc/src/json.md)
       FieldDef("meta", "json", "position")))
 

@@ -134,6 +134,37 @@ object SparkEntry {
       Engine.docIds(Engine.searcher(s, dir), BoolQ(Seq(
         Occur.Must -> FieldQ("srctok", TermQ("src7")),
         Occur.Must -> FieldQ("srctok", TermQ("b3")))))),
+    // en_stem analyzer chain (`stemmer.rs:12-31`): the query form "queries"
+    // and the corpus form "query" both Porter2-stem to "queri", so the
+    // stemmed-field query matches docs the surface form would miss; the
+    // oracle enumerates the corpus surface forms of that stem (the fixed
+    // 31-token synthetic vocabulary stems injectively except y->i families)
+    "ft_stemmed" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("stemmed:queries", opts = Engine.parseOpts))),
+    // typed fields (`field_type.rs:170-190`): indexed single-value terms
+    // with order-preserving encodings, queried through the full parser.
+    // u64 exact term + u64 term-dictionary range (hex keys sort numerically)
+    "ft_u64_term" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("nchars:246", opts = Engine.parseOpts))),
+    "ft_u64_term_range" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("nchars:[100 TO 300}", opts = Engine.parseOpts))),
+    // date range over RFC-3339 terms, mixed offsets normalize to UTC
+    "ft_date_range" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse(
+          "mtime:[2020-01-05T00:00:00Z TO 2020-01-20T02:00:00+02:00}",
+          opts = Engine.parseOpts))),
+    // bool term AND a default-field text term
+    "ft_bool_term" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("even:true AND spark", opts = Engine.parseOpts))),
+    // bytes term — uppercase query hex canonicalizes to the indexed term
+    "ft_bytes_term" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("blob:003C", opts = Engine.parseOpts))),
     // schema-less JSON field (doc/src/json.md): dotted json-path literals
     // through the full parser -> typed path-encoded terms
     "ft_json_path" -> ((s, dir) =>
@@ -613,6 +644,23 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     "ft_field_scoped_default" ->
       "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0",
+    "ft_stemmed" ->
+      s"WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t = 'query' ORDER BY doc_id",
+    "ft_u64_term" ->
+      "SELECT doc_id FROM documents WHERE n_chars = 246 ORDER BY doc_id",
+    "ft_u64_term_range" ->
+      "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 300 ORDER BY doc_id",
+    "ft_date_range" ->
+      // mtime = 2020-01-01 + (doc_id % 60) days at midnight UTC; the query's
+      // upper bound 2020-01-20T02:00:00+02:00 is 2020-01-20T00:00:00Z
+      // exclusive => days 4..18 inclusive
+      "SELECT doc_id FROM documents WHERE doc_id % 60 BETWEEN 4 AND 18 ORDER BY doc_id",
+    "ft_bool_term" ->
+      s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok
+         |JOIN documents USING (doc_id)
+         |WHERE t = 'spark' AND n_chars % 2 = 0 ORDER BY doc_id""".stripMargin,
+    "ft_bytes_term" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 65521 = 60 ORDER BY doc_id",
     "ft_pretokenized" ->
       """SELECT doc_id FROM documents
          |WHERE source = 'src7' AND doc_id % 7 = 3 ORDER BY doc_id""".stripMargin,

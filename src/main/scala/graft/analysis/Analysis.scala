@@ -261,6 +261,14 @@ object Analysis {
     case "ascii"      => simpleTokenize(text).map(t => t.copy(text = asciiFold(t.text)))
     case "ip"         => rawTokenize(text).flatMap(t =>
       canonicalIpv6(t.text).map(c => t.copy(text = c)))
+    // typed single-term fields (`field_type.rs:170-190`): the raw value
+    // canonicalizes to one order-preserving term, or none if unparseable
+    case "u64"   => rawTokenize(text).flatMap(t => canonicalU64(t.text).map(c => t.copy(text = c)))
+    case "i64"   => rawTokenize(text).flatMap(t => canonicalI64(t.text).map(c => t.copy(text = c)))
+    case "f64"   => rawTokenize(text).flatMap(t => canonicalF64(t.text).map(c => t.copy(text = c)))
+    case "bool"  => rawTokenize(text).flatMap(t => canonicalBool(t.text).map(c => t.copy(text = c)))
+    case "date"  => rawTokenize(text).flatMap(t => canonicalDate(t.text).map(c => t.copy(text = c)))
+    case "bytes" => rawTokenize(text).flatMap(t => canonicalBytesHex(t.text).map(c => t.copy(text = c)))
     case other => throw new IllegalArgumentException(s"unknown tokenizer chain: $other")
   }
 
@@ -295,6 +303,64 @@ object Analysis {
         Some(com.google.common.net.InetAddresses.toAddrString(v6))
       case _ => None
     }
+
+  // ---------- typed-field canonical term encodings ----------
+  // The reference indexes non-text field values as fixed-width big-endian
+  // keys whose byte order equals value order (`common/src/lib.rs`:
+  // u64 identity, i64 sign-flip `i64_to_u64`, f64 monotone bit trick
+  // `f64_to_u64`; dates as i64 seconds, `src/schema/field_type.rs:170-190`).
+  // Here the same order-preserving keys are rendered as 16-hex-digit terms
+  // so the TERM DICTIONARY's string order equals numeric order — TermRangeQ
+  // over a typed field is then a numeric/date range with no extra machinery.
+
+  /** u64 term: value as 16 lowercase hex digits (order-preserving). */
+  def canonicalU64(s: String): Option[String] =
+    try Some(f"${java.lang.Long.parseUnsignedLong(s.trim)}%016x")
+    catch { case _: NumberFormatException => None }
+
+  /** i64 term: sign-bit flip then hex (the reference's `i64_to_u64`). */
+  def canonicalI64(s: String): Option[String] =
+    s.trim.toLongOption.map(v => f"${v ^ Long.MinValue}%016x")
+
+  /** f64 term: IEEE monotone map then hex (the reference's `f64_to_u64`):
+    * positive doubles flip the sign bit, negatives flip all bits.
+    */
+  def canonicalF64(s: String): Option[String] =
+    s.trim.toDoubleOption.map { d =>
+      val bits = java.lang.Double.doubleToLongBits(d)
+      val key = if (bits < 0) ~bits else bits | Long.MinValue
+      f"$key%016x"
+    }
+
+  /** bool term: `true` / `false` (`field_type.rs` Bool; parse like Rust's
+    * `bool::from_str` — exactly these two words, case-sensitive).
+    */
+  def canonicalBool(s: String): Option[String] =
+    s.trim match { case t @ ("true" | "false") => Some(t); case _ => None }
+
+  /** Date term: RFC-3339 text normalized to UTC whole seconds
+    * (`DateTimePrecision::Seconds`, the reference default) rendered
+    * fixed-width `uuuu-MM-ddTHH:mm:ssZ` — lexicographic == chronological.
+    */
+  def canonicalDate(s: String): Option[String] =
+    try {
+      val odt = java.time.OffsetDateTime.parse(s.trim)
+      Some(odt.withOffsetSameInstant(java.time.ZoneOffset.UTC)
+        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+        .format(java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss'Z'")))
+    } catch { case _: java.time.format.DateTimeParseException => None }
+
+  /** Bytes term: the hex rendering of the value, canonicalized to lowercase
+    * (hex is order-preserving under bytewise comparison, unlike base64).
+    * Non-hex input emits no term.
+    */
+  def canonicalBytesHex(s: String): Option[String] = {
+    val t = s.trim
+    if (t.length % 2 == 0 && t.nonEmpty &&
+        t.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+      Some(t.toLowerCase)
+    else None
+  }
 
   /** SplitCompoundWords (`src/tokenizer/split_compound_words.rs:46-188`):
     * a token is replaced by its dictionary parts iff leftmost-longest

@@ -43,6 +43,25 @@ object IndexBuilder {
   def PRUNE_BLOCK_BYTES: Long =
     java.lang.Long.getLong("graft.postings.rowgroup.bytes", 1L << 20)
 
+  /** Token-count column for an extra field over a docmap-shaped frame —
+    * re-derives the field's fieldnorm source (the per-doc token count under
+    * ITS analyzer chain); pre-tokenized array columns count verbatim. Shared
+    * by the build-side stats job and the merge-side exact stats recompute.
+    */
+  def fieldTokenCountCol(dm: DataFrame, f: FieldDef): org.apache.spark.sql.Column = {
+    val tok = f.tokenizer
+    val isPre = dm.schema(f.name).dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    if (isPre) coalesce(size(col(f.name)).cast("long"), lit(0L))
+    else {
+      val cntU = udf((v: String) =>
+        if (v == null) 0L
+        else if (tok == "json") JsonField.flatten(v, "default").length.toLong
+        else Analysis.analyzeChain(tok, v).length.toLong)
+      cntU(col(f.name).cast("string"))
+    }
+  }
+
   /** Per-doc analysis + local aggregation: one source row is one document, so
     * the (term -> tf, positions) aggregation is exact map-side work with no
     * shuffle (the reference does the same inside `SegmentWriter`,
@@ -336,19 +355,7 @@ object IndexBuilder {
           .select($"segId", lit(cfg.field).as("field"), $"totalNumTokens", $"numDocs")
           .as[StatsRow].collect().toSeq
         val extraStats: Seq[StatsRow] = extras.flatMap { f =>
-          val tok = f.tokenizer
-          val isPre = docmapW.schema(f.name).dataType
-            .isInstanceOf[org.apache.spark.sql.types.ArrayType]
-          // pre-tokenized: token count is the array length (no analyzer)
-          val cnt =
-            if (isPre) coalesce(size(col(f.name)).cast("long"), lit(0L))
-            else {
-              val cntU = udf((v: String) =>
-                if (v == null) 0L
-                else if (tok == "json") JsonField.flatten(v, "default").length.toLong
-                else Analysis.analyzeChain(tok, v).length.toLong)
-              cntU(col(f.name).cast("string"))
-            }
+          val cnt = fieldTokenCountCol(docmapW, f)
           docmapW.groupBy($"segId")
             .agg(sum(cnt).as("totalNumTokens"), count(lit(1)).as("numDocs"))
             .select($"segId", lit(f.name).as("field"), $"totalNumTokens", $"numDocs")

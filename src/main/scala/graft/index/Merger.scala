@@ -93,7 +93,7 @@ object Merger {
     val docmapSrc = spark.read.parquet(s"$indexDir/docmap")
       .where($"segId".isin(sources: _*)).drop("batch")
 
-    val (docmap, exploded, mergedRows, mergedTokens) = tombstones match {
+    val (docmap, exploded, mergedRows, mergedStats) = tombstones match {
       case None =>
         // fast path: no holes — doc-id remap is pure stacking arithmetic
         // (merger.rs:109), and every posting's merged rank is computable
@@ -110,24 +110,34 @@ object Merger {
           .withColumn("docId", ($"docId" + offsetU($"segId")).cast("int"))
           .withColumn("segId", lit(newSegId))
 
-        // startRank(term, seg) = prefix sum of doc_freq over segment order
+        // startRank(field, term, seg) = prefix sum of doc_freq over segment
+        // order — ALL fields merge in one pass (each field's posting space is
+        // disjoint under the (field, term) key)
         val td = spark.read.parquet(s"$indexDir/termdict")
-          .where($"segId".isin(sources: _*) && $"field" === cfg.field)
-        val w = Window.partitionBy($"term").orderBy($"segId")
+          .where($"segId".isin(sources: _*))
+        val w = Window.partitionBy($"field", $"term").orderBy($"segId")
           .rowsBetween(Window.unboundedPreceding, -1)
-        val startRanks = td.select($"segId", $"term",
+        val startRanks = td.select($"segId", $"field", $"term",
           coalesce(sum($"docFreq").over(w), lit(0L)).as("startRank"))
 
         val ex = spark.read.parquet(s"$indexDir/postings")
-          .where($"segId".isin(sources: _*) && $"field" === field)
-          .select($"segId", $"term", $"blockId",
+          .where($"segId".isin(sources: _*))
+          .select($"segId", $"field", $"term", $"blockId",
             posexplode(arrays_zip($"docIds", $"tfs", $"normIds", $"positions")).as(Seq("pos", "p")))
-          .join(startRanks, Seq("segId", "term"))
-          .select($"term",
+          .join(startRanks, Seq("segId", "field", "term"))
+          .select($"field", $"term",
             ($"startRank" + $"blockId" * blockSize + $"pos").as("rank"),
             ($"p.docIds" + offsetU($"segId")).cast("int").as("docId"),
             $"p.tfs".as("tf"), $"p.normIds".as("normId"), $"p.positions".as("positions"))
-        (dm, ex, srcMetas.map(_.rows).sum, srcMetas.map(_.tokens).sum)
+
+        // merged per-field stats: exact by summation of the source rows
+        val mergedStats = spark.read.parquet(s"$indexDir/stats")
+          .where($"segId".isin(sources: _*))
+          .groupBy($"field")
+          .agg(sum($"totalNumTokens").as("tt"), sum($"numDocs").as("nd"))
+          .as[(String, Long, Long)].collect()
+          .map { case (f, tt, nd) => StatsRow(newSegId, f, tt, nd) }.toSeq
+        (dm, ex, srcMetas.map(_.rows).sum, mergedStats)
 
       case Some(dead) =>
         // compaction path: drop dead docs, re-densify doc ids in stacking
@@ -166,56 +176,73 @@ object Merger {
           .withColumn("docId", $"newDocId")
           .drop("srcSegId", "srcDocId", "newDocId")
 
-        val agg = alive.agg(count(lit(1)), coalesce(sum($"tokenCount"), lit(0L)))
-          .as[(Long, Long)].head()
+        val aliveRows = aliveCounts.values.sum
 
         val joined = spark.read.parquet(s"$indexDir/postings")
-          .where($"segId".isin(sources: _*) && $"field" === field)
-          .select($"segId".as("srcSegId"), $"term",
+          .where($"segId".isin(sources: _*))
+          .select($"segId".as("srcSegId"), $"field", $"term",
             posexplode(arrays_zip($"docIds", $"tfs", $"normIds", $"positions")).as(Seq("pos", "p")))
           .withColumn("srcDocId", $"p.docIds")
           .join(remap, Seq("srcSegId", "srcDocId"))
-          .select($"term", $"srcSegId", $"srcDocId", $"newDocId",
+          .select($"field", $"term", $"srcSegId", $"srcDocId", $"newDocId",
             $"p.tfs".as("tf"), $"p.normIds".as("normId"), $"p.positions".as("positions"))
 
-        // startRank(term, srcSeg) = prefix sum of ALIVE per-segment doc_freq
-        // (the aggregate is tiny: one row per (term, segment))
-        val dfAlive = joined.groupBy($"term", $"srcSegId").agg(count(lit(1)).as("df"))
-        val startW = Window.partitionBy($"term").orderBy($"srcSegId")
+        // startRank(field, term, srcSeg) = prefix sum of ALIVE per-segment
+        // doc_freq (the aggregate is tiny: one row per (field, term, segment))
+        val dfAlive = joined.groupBy($"field", $"term", $"srcSegId").agg(count(lit(1)).as("df"))
+        val startW = Window.partitionBy($"field", $"term").orderBy($"srcSegId")
           .rowsBetween(Window.unboundedPreceding, -1)
-        val startRanks = dfAlive.select($"term", $"srcSegId",
+        val startRanks = dfAlive.select($"field", $"term", $"srcSegId",
           coalesce(sum($"df").over(startW), lit(0L)).as("startRank"))
 
-        val rankInW = Window.partitionBy($"term", $"srcSegId").orderBy($"srcDocId")
+        val rankInW = Window.partitionBy($"field", $"term", $"srcSegId").orderBy($"srcDocId")
         val ex = joined
           .withColumn("rankIn", row_number().over(rankInW).cast("long") - 1)
-          .join(startRanks, Seq("term", "srcSegId"))
-          .select($"term", ($"startRank" + $"rankIn").as("rank"),
+          .join(startRanks, Seq("field", "term", "srcSegId"))
+          .select($"field", $"term", ($"startRank" + $"rankIn").as("rank"),
             $"newDocId".as("docId"), $"tf", $"normId", $"positions")
-        (dm, ex, agg._1, agg._2)
+
+        // merged per-field stats: exact recompute over SURVIVING docs only
+        // (merger.rs:29-71 — dropped docs must leave the averages), via the
+        // same per-field token counting the builder's stats job uses
+        val primary = dm.agg(coalesce(sum($"tokenCount"), lit(0L))).as[Long].head()
+        val mergedStats = StatsRow(newSegId, cfg.field, primary, aliveRows) +:
+          cfg.extraFields.map { f =>
+            val tt = dm.agg(coalesce(sum(IndexBuilder.fieldTokenCountCol(dm, f)), lit(0L)))
+              .as[Long].head()
+            StatsRow(newSegId, f.name, tt, aliveRows)
+          }
+        (dm, ex, aliveRows, mergedStats)
     }
+
+    // MAX_DOC_LIMIT at merge (`merger.rs:181-185`): refuse to produce an
+    // over-limit segment rather than write one that can't be addressed
+    require(mergedRows < cfg.maxDocsPerSegment,
+      s"merged segment would hold $mergedRows docs, exceeding the limit " +
+        s"${cfg.maxDocsPerSegment} (merger.rs:181-185)")
 
     docmap.write.mode("overwrite").parquet(s"$indexDir/docmap/batch=$newBatch")
 
-    // merged stats / norm cache (exact recompute, merger.rs:29-71 note)
-    val avgFn = Bm25.averageFieldnorm(mergedTokens, mergedRows)
-    Seq(StatsRow(newSegId, cfg.field, mergedTokens, mergedRows)).toDS()
+    // merged per-field stats / norm caches (exact recompute, merger.rs:29-71)
+    mergedStats.toDS().coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/stats/batch=$newBatch")
+    val mergedTokens = mergedStats.find(_.field == cfg.field).map(_.totalNumTokens).getOrElse(0L)
 
-    // the skew-proof shuffle: key = (term, target block id)
-    val cache = Bm25.computeTfCache(avgFn)
+    // the skew-proof shuffle: key = (field, term, target block id)
+    val caches: Map[String, Array[Float]] = mergedStats.map(s =>
+      s.field -> Bm25.computeTfCache(Bm25.averageFieldnorm(s.totalNumTokens, s.numDocs))).toMap
     val blocks = exploded
       .withColumn("newBlockId", ($"rank" / blockSize).cast("int"))
-      .as[(String, Long, Int, Int, Int, Array[Int], Int)]
-      .groupByKey(r => (r._1, r._7))
+      .as[(String, String, Long, Int, Int, Int, Array[Int], Int)]
+      .groupByKey(r => (r._1, r._2, r._8))
       .mapGroups { (key, it) =>
-        val rows = it.toArray.sortBy(_._2) // by rank; exactly <= blockSize rows
-        val docs = rows.map(_._3); val tfs = rows.map(_._4); val norms = rows.map(_._5)
+        val rows = it.toArray.sortBy(_._3) // by rank; exactly <= blockSize rows
+        val docs = rows.map(_._4); val tfs = rows.map(_._5); val norms = rows.map(_._6)
         val (mn, mt) =
-          if (rows.length == blockSize) IndexBuilder.blockMaxPair(tfs, norms, cache)
+          if (rows.length == blockSize) IndexBuilder.blockMaxPair(tfs, norms, caches(key._1))
           else (255, 255)
-        PostingBlock(newSegId, field, key._1, key._2, docs.last, docs.length,
-          docs, tfs, norms, mn, mt, rows.map(_._6))
+        PostingBlock(newSegId, key._1, key._2, key._3, docs.last, docs.length,
+          docs, tfs, norms, mn, mt, rows.map(_._7))
       }
     // term-major local sort + small row groups for stats pruning, matching
     // the builder's postings layout (see IndexBuilder.PRUNE_BLOCK_BYTES)

@@ -80,6 +80,15 @@ object FieldDef {
   def STRING(name: String): FieldDef = FieldDef(name, "raw", "basic")
   /** `ip_options.rs` — IpAddr field: canonical-IPv6 terms, docs-only. */
   def IPADDR(name: String): FieldDef = FieldDef(name, "ip", "basic")
+  /** `field_type.rs:170-190` typed single-value fields — indexed as
+    * order-preserving hex terms (see Analysis typed encodings), docs-only.
+    */
+  def U64(name: String): FieldDef = FieldDef(name, "u64", "basic")
+  def I64(name: String): FieldDef = FieldDef(name, "i64", "basic")
+  def F64(name: String): FieldDef = FieldDef(name, "f64", "basic")
+  def BOOL(name: String): FieldDef = FieldDef(name, "bool", "basic")
+  def DATE(name: String): FieldDef = FieldDef(name, "date", "basic")
+  def BYTES(name: String): FieldDef = FieldDef(name, "bytes", "basic")
   /** `json_object_options.rs` — schema-less JSON object field. */
   def JSON(name: String): FieldDef = FieldDef(name, "json", "position")
 }

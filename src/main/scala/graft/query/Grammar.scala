@@ -672,19 +672,32 @@ object Grammar {
       })
     case URange(f, lo, hi) =>
       // numeric fast-field column -> docmap RangeQ; otherwise a str range
-      // over the (possibly default) indexed field's term dictionary
+      // over the (possibly default) indexed field's term dictionary, with
+      // bounds normalized through the field's analyzer chain (the reference
+      // computes range boundaries from typed terms, `query_parser.rs`
+      // `compute_boundary_term`) — for typed fields (u64/date/...) the
+      // canonical encoding is order-preserving, so the str range IS the
+      // typed range
       val loV = lo.value.map(v => (v, lo.inclusive))
       val hiV = hi.value.map(v => (v, hi.inclusive))
       def numeric(s: String): Option[Double] = s.toDoubleOption
+      def norm(fd: String, b: Option[(String, Boolean)]): Option[(String, Boolean)] =
+        b.map { case (v, i) =>
+          Analysis.analyzeChain(chainOf(fd, opts), v) match {
+            case Seq(one) => (one.text, i)
+            case _ => (v, i)
+          }
+        }
       f match {
         case Some(col) if opts.numericFields.contains(col) &&
             loV.forall(v => numeric(v._1).isDefined) && hiV.forall(v => numeric(v._1).isDefined) =>
           Some(RangeQ(col,
             loV.map { case (v, i) => (numeric(v).get, i) },
             hiV.map { case (v, i) => (numeric(v).get, i) }))
-        case Some(fd) => Some(scoped(fd, TermRangeQ(loV, hiV), opts))
+        case Some(fd) => Some(scoped(fd, TermRangeQ(norm(fd, loV), norm(fd, hiV)), opts))
         case None =>
-          combineFanout(opts.defaultFields.map(fd => scoped(fd, TermRangeQ(loV, hiV), opts)))
+          combineFanout(opts.defaultFields.map(fd =>
+            scoped(fd, TermRangeQ(norm(fd, loV), norm(fd, hiV)), opts)))
       }
     case ULiteral(f, phrase, _, slop, prefix) =>
       val fields = f.map(Seq(_)).getOrElse(opts.defaultFields)

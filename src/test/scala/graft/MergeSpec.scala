@@ -148,6 +148,60 @@ class MergeSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("merge carries ALL fields: extra-field queries and stats survive merge + compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mfCfg = cfg.copy(extraFields = Seq(
+      FieldDef.STRING("lang"), FieldDef("repo", "default", "freq")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-mf").toString
+    val c = CorpusGen.corpus(spark, nDocs, seed = 23L, avgLines = 8).toDF().cache()
+    val meta0 = IndexBuilder.build(spark, c, dir, mfCfg)
+    val sr0 = new Searcher(spark, dir)
+
+    def byPath(sr: Searcher, q: Query): Seq[String] =
+      sr.compile(q)
+        .join(sr.docmap.select($"segId", $"docId", $"path"), Seq("segId", "docId"))
+        .select($"path").as[String].collect().toSeq.sorted
+    val langV = c.select($"lang").as[String].head()
+    val repoTok = c.select($"repo").as[String].head().split('/')(0)
+    val qs: Seq[Query] = Seq(
+      FieldQ("lang", TermQ(langV)),
+      BoolQ(Seq(Occur.Must -> FieldQ("repo", TermQ(repoTok)),
+        Occur.Must -> TermQ("parser"))))
+    val before = qs.map(q => byPath(sr0, q))
+    assert(before.head.nonEmpty, "extra-field query must match something pre-merge")
+    val statsBefore = sr0.statsDf.groupBy($"field")
+      .agg(sum($"totalNumTokens"), sum($"numDocs"))
+      .as[(String, Long, Long)].collect().toSet
+
+    Merger.merge(spark, dir, mfCfg, meta0.segments.map(_.segId), newSegId = 100)
+    val sr1 = new Searcher(spark, dir)
+    qs.zip(before).foreach { case (q, b) => assert(byPath(sr1, q) == b, s"$q after merge") }
+    val statsAfter = sr1.statsDf.groupBy($"field")
+      .agg(sum($"totalNumTokens"), sum($"numDocs"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(statsAfter == statsBefore, "per-field stats must be preserved exactly")
+    assert(statsAfter.map(_._1) == Set("content", "lang", "repo"))
+
+    // compaction path: delete some docs, merge again, compare to ground truth
+    val delTerm = "parser"
+    assert(index.Deletes.deleteByTerm(spark, dir, delTerm) > 0)
+    Merger.merge(spark, dir, mfCfg, Seq(100), newSegId = 200)
+    val sr2 = new Searcher(spark, dir)
+    val hasTerm = udf((content: String) =>
+      graft.analysis.Analysis.defaultTerms(content).exists(_._1 == delTerm))
+    val dirRef = java.nio.file.Files.createTempDirectory("graft-merge-mf-ref").toString
+    IndexBuilder.build(spark, c.where(!hasTerm($"content")), dirRef, mfCfg)
+    val srRef = new Searcher(spark, dirRef)
+    qs.foreach { q => assert(byPath(sr2, q) == byPath(srRef, q), s"$q after compaction") }
+    val s2 = sr2.statsDf.select($"field", $"totalNumTokens", $"numDocs")
+      .as[(String, Long, Long)].collect().toSet
+    val sRef = srRef.statsDf.groupBy($"field")
+      .agg(sum($"totalNumTokens"), sum($"numDocs"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(s2 == sRef, "compacted per-field stats must equal the rebuilt index's")
+  }
+
   test("log merge policy: levels and min_num_segments (log_merge_policy.rs:94-130)") {
     val policy = Merger.LogMergePolicy(minNumSegments = 3, minLayerSize = 10)
     def seg(id: Int, rows: Long) = SegmentMeta(id, 0, rows, 0, 0, 0, sha256ok = true)
