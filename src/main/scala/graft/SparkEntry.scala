@@ -489,6 +489,11 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         .orderBy("doc_id")),
+    // banded SimHash pairing: recall 1.0 vs all-pairs for Hamming <= 3 by
+    // pigeonhole over 4 bands, so the oracle is the quadratic ground truth
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("a", "b")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3, 0.5)
         .orderBy("a", "b")),
@@ -511,6 +516,16 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextOps.langId(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         .orderBy("doc_id")),
+    // fitted language-ID (Cavnar & Trenkle rank profiles): FIT the per-lang
+    // trigram profiles on the labeled corpus (one narrow groupBy — the
+    // "model" is langs x 40 rows), then PREDICT via a broadcast join +
+    // argmax. Both halves are deterministic (rank/argmax ties by asc key),
+    // so DuckDB replays fit AND predict exactly.
+    "text_langid_fitted" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.langIdFitted(docs, "doc_id", "text",
+        TextOps.langProfiles(docs, "lang", "text")).orderBy("doc_id")
+    },
     "text_quality" -> ((s, dir) =>
       TextOps.quality(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -546,7 +561,21 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.decodeAll(Multimodal.asBlobs(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")), 7)
         .orderBy("doc_id", "frame_idx")
-    }
+    },
+
+    // ---- Structured Streaming analytics (EventStream) ----
+    // A REAL streaming run: file source -> watermark -> windowed agg ->
+    // memory sink (complete mode), so the result is batch-equal and the
+    // DuckDB oracle checks the streaming engine end-to-end.
+    "stream_window_counts" -> ((s, dir) =>
+      graft.streaming.EventStream.runWindowedOverParquet(s, s"$dir/events.parquet")
+        .orderBy("window_start_ms", "event_type")),
+    // Batch twin of the flatMapGroupsWithState sessionizer (identical
+    // millisecond gap arithmetic; EventStreamSpec proves stream == batch).
+    "stream_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeBatch(
+          s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("user_id", "session_start_ms"))
   )
 
   /** Embedding of vec_id 0 as the ANN query vector (exact float->double). */
@@ -853,7 +882,7 @@ object SparkEntry {
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "dedup_bag" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS cnt FROM documents
-        |GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+        |GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
         |ORDER BY keep_id""".stripMargin,
     "dedup_minhash_sig" -> (minhashSigSql +
       " SELECT doc_id, i AS perm, minh FROM sig ORDER BY doc_id, perm"),
@@ -882,6 +911,20 @@ object SparkEntry {
          |  FROM th CROSS JOIN pl GROUP BY doc_id, j)
          |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH tf AS (SELECT doc_id, t, count(*) AS tf FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY doc_id, t),
+         |th AS (SELECT doc_id, tf, ${sqlCharHash("t")} AS h FROM tf),
+         |pl AS (SELECT j, ((2 * j + 1) * 2654435761) % $P AS aj, (j * 97531 + 12345) % $P AS bj
+         |  FROM range(${Dedup.SimBits}) t(j)),
+         |bits AS (SELECT doc_id, j, sum(tf * (((h * aj + bj) % $P % 2) * 2 - 1)) AS s
+         |  FROM th CROSS JOIN pl GROUP BY doc_id, j),
+         |fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS f
+         |  FROM bits GROUP BY doc_id)
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |       CAST(bit_count(xor(l.f, r.f)) AS INT) AS hamming
+         |FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.f, r.f)) <= 3 ORDER BY a, b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $posCte,
          |sh AS (SELECT DISTINCT a.doc_id, ${sqlCharHash("a.t || ' ' || b.t || ' ' || c.t")} AS s
@@ -930,6 +973,22 @@ object SparkEntry {
          |FROM d JOIN n USING (vec_id) CROSS JOIN qn
          |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
 
+    "text_langid_fitted" ->
+      s"""WITH tri AS (SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+         |                          i -> substr(text, CAST(i AS INT), 3))) AS tri
+         |  FROM documents),
+         |prof AS (SELECT lang, tri, row_number() OVER
+         |    (PARTITION BY lang ORDER BY count(*) DESC, tri) AS rank
+         |  FROM tri GROUP BY lang, tri
+         |  QUALIFY rank <= ${TextOps.TriK}),
+         |dt AS (SELECT DISTINCT doc_id, tri FROM tri),
+         |sc AS (SELECT doc_id, p.lang,
+         |    CAST(sum(${TextOps.TriK} + 1 - p.rank) AS BIGINT) AS score
+         |  FROM dt JOIN prof p USING (tri) GROUP BY doc_id, p.lang)
+         |SELECT doc_id, lang AS pred_lang, score FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+         |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH $tokCte,
          |c AS (SELECT doc_id,
@@ -980,7 +1039,27 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, unnest(range(0, length(text) % 40 + 5, 7)) AS frame_idx
-        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // complete-mode streaming == the batch hourly aggregate; cents-scaled
+    // sums keep the money math integer-exact on both sides
+    "stream_window_counts" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |count(*) AS n, CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // gaps-and-islands sessionization in epoch-millis arithmetic (matches
+    // the engine's Timestamp.getTime truncation of microseconds)
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |b AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER w IS NULL
+        |    OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id, ms, sum(brk) OVER
+        |    (PARTITION BY user_id ORDER BY ms) AS sid FROM b)
+        |SELECT user_id, min(ms) AS session_start_ms,
+        |  max(ms) AS session_end_ms, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin
   )
 
   /** Shared CTE text: per-component embedding view + norms. */

@@ -36,9 +36,11 @@ object Dedup {
 
   /** Bag-of-words exact dedup: key = sorted distinct token set. Catches
     * reordered/repeated-word duplicates that byte-exact dedup misses.
+    * The key is md5-digested map-side so the shuffle key stays fixed-width
+    * (32 chars) no matter how long the documents are.
     */
   def bagGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(array_join(array_sort(array_distinct(tokens(col(textCol)))), " ").as("bag"))
+    df.groupBy(md5(array_join(array_sort(array_distinct(tokens(col(textCol)))), " ")).as("bag"))
       .agg(min(col(idCol)).cast("long").as("keep_id"), count(lit(1)).as("cnt"))
       .select("keep_id", "cnt")
 
@@ -158,6 +160,42 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
       .select(col("doc_id"), col("simhash").cast("long").as("simhash"))
   }
+
+  /** SimHash near-dup pairs via fingerprint banding: the SimBits-bit
+    * fingerprint splits into `SimBands` bands; docs sharing any band value
+    * are candidates (shuffle key = (band, value) — never all pairs), then
+    * the exact Hamming distance is verified on candidates only.
+    *
+    * Pigeonhole guarantee: two fingerprints within Hamming distance
+    * `SimBands - 1` (= 3 here) MUST agree on at least one whole band, so for
+    * maxHamming <= SimBands - 1 the banded path has recall exactly 1.0 vs
+    * the quadratic all-pairs scan — the approximate blocking is
+    * oracle-CHECKABLE, not rows-only. Output (a, b, hamming), a < b.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = SimBands - 1): DataFrame = {
+    require(maxHamming <= SimBands - 1,
+      s"banding only guarantees recall 1.0 up to Hamming ${SimBands - 1}")
+    val bandBits = SimBits / SimBands
+    val fp = simhash(df, idCol, textCol).cache()
+    val bands = fp.select(col("doc_id"), posexplode(
+      array((0 until SimBands).map(k =>
+        shiftright(col("simhash"), k * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*))
+      .as(Seq("band", "key")))
+    val cand = bands.as("l")
+      .join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+    cand
+      .join(fp.select(col("doc_id").as("a"), col("simhash").as("fa")), Seq("a"))
+      .join(fp.select(col("doc_id").as("b"), col("simhash").as("fb")), Seq("b"))
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  val SimBands = 4
 
   // ---------------------------------------------------------------- n-gram Jaccard
 

@@ -73,6 +73,57 @@ object TextOps {
         col("c_code"), col("c_db"), col("c_en"), col("c_stream"), col("pred_lang"))
   }
 
+  // ------------------------------------------- language ID, fitted profiles
+
+  /** Top trigrams kept per language profile (Cavnar & Trenkle keep 300; the
+    * synthetic corpus' trigram space is small, 40 suffices).
+    */
+  val TriK = 40
+
+  /** Character trigrams (all positions, spaces included — C&T profile
+    * n-grams). Empty array below 3 chars.
+    */
+  def charTrigrams(text: Column): Column =
+    when(length(text) < 3, array())
+      .otherwise(transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3))))
+
+  /** FIT: per-language trigram profiles from a labeled corpus — the
+    * Cavnar & Trenkle rank profile as a distributed aggregate. One narrow
+    * groupBy((lang, tri)) shuffle; the result is langs x k rows (tiny at
+    * any corpus scale — this is the "model").
+    * Rank ties break by ascending trigram so the fit is deterministic.
+    */
+  def langProfiles(df: DataFrame, langCol: String, textCol: String,
+                   k: Int = TriK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(langCol).as("lang"), explode(charTrigrams(col(textCol))).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("cnt"), asc("tri"))))
+      .where(col("rank") <= k)
+      .select("lang", "tri", "rank")
+  }
+
+  /** PREDICT: score(doc, lang) = sum over the doc's DISTINCT trigrams found
+    * in the lang's profile of (k + 1 - rank); predicted language = argmax,
+    * ties by ascending language. The profile table is broadcast, so
+    * prediction is a map-side join + one (doc_id, lang) partial aggregate —
+    * embarrassingly parallel at 100 TB.
+    */
+  def langIdFitted(df: DataFrame, idCol: String, textCol: String,
+                   profiles: DataFrame, k: Int = TriK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docTris = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(array_distinct(charTrigrams(col(textCol)))).as("tri"))
+    val scores = docTris.join(broadcast(profiles), Seq("tri"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(lit(k + 1) - col("rank")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("lang"))
+    scores.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+  }
+
   // ---------------------------------------------------------------- quality
 
   /** Document quality signals (length, stopword ratio, type/token ratio,

@@ -39,6 +39,20 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("banded simhashPairs == quadratic ground truth for Hamming <= bands-1 (pigeonhole)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq
+    val exact = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= Dedup.SimBands - 1
+    } yield (a, b, h)).sorted
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(banded == exact, "banding must have recall 1.0 up to Hamming bands-1")
+    assert(banded.nonEmpty, "corpus should contain at least one simhash near-dup pair")
+  }
+
   test("writeBucketed partitions by bucket; probe scan prunes to b+1 dirs") {
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
     val path = java.nio.file.Files.createTempDirectory("graft-ann").toString + "/table"
