@@ -258,6 +258,14 @@ object Analysis {
     case "whitespace" => whitespaceTokenize(text)
     case "simple"     => simpleTokenize(text)
     case "en_stem"    => defaultAnalyze(text).map(t => t.copy(text = Stemmer.stemEnglish(t.text)))
+    // per-language Snowball chains (`src/tokenizer/stemmer.rs:12-31` exposes
+    // Language::* through the Stemmer filter; we register one chain each)
+    case "de_stem" => defaultAnalyze(text).map(t => t.copy(text = Stemmers.stemGerman(t.text)))
+    case "sv_stem" => defaultAnalyze(text).map(t => t.copy(text = Stemmers.stemSwedish(t.text)))
+    case "no_stem" => defaultAnalyze(text).map(t => t.copy(text = Stemmers.stemNorwegian(t.text)))
+    case "da_stem" => defaultAnalyze(text).map(t => t.copy(text = Stemmers.stemDanish(t.text)))
+    case "nl_stem" => defaultAnalyze(text).map(t => t.copy(text = Stemmers.stemDutch(t.text)))
+    case "ru_stem" => defaultAnalyze(text).map(t => t.copy(text = Stemmers.stemRussian(t.text)))
     case "ascii"      => simpleTokenize(text).map(t => t.copy(text = asciiFold(t.text)))
     case "ip"         => rawTokenize(text).flatMap(t =>
       canonicalIpv6(t.text).map(c => t.copy(text = c)))
