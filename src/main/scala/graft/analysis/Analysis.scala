@@ -266,6 +266,10 @@ object Analysis {
     case "da_stem" => defaultAnalyze(text).map(t => t.copy(text = Stemmers.stemDanish(t.text)))
     case "nl_stem" => defaultAnalyze(text).map(t => t.copy(text = Stemmers.stemDutch(t.text)))
     case "ru_stem" => defaultAnalyze(text).map(t => t.copy(text = Stemmers.stemRussian(t.text)))
+    case "fr_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersRomance.stemFrench(t.text)))
+    case "es_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersRomance.stemSpanish(t.text)))
+    case "it_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersRomance.stemItalian(t.text)))
+    case "pt_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersRomance.stemPortuguese(t.text)))
     case "ascii"      => simpleTokenize(text).map(t => t.copy(text = asciiFold(t.text)))
     case "ip"         => rawTokenize(text).flatMap(t =>
       canonicalIpv6(t.text).map(c => t.copy(text = c)))
