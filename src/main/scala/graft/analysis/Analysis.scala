@@ -270,6 +270,8 @@ object Analysis {
     case "es_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersRomance.stemSpanish(t.text)))
     case "it_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersRomance.stemItalian(t.text)))
     case "pt_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersRomance.stemPortuguese(t.text)))
+    case "fi_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersUralic.stemFinnish(t.text)))
+    case "hu_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersUralic.stemHungarian(t.text)))
     case "ascii"      => simpleTokenize(text).map(t => t.copy(text = asciiFold(t.text)))
     case "ip"         => rawTokenize(text).flatMap(t =>
       canonicalIpv6(t.text).map(c => t.copy(text = c)))

@@ -143,22 +143,26 @@ object Stemmers {
     val r1 = r1Min3(w, isV)
     @inline def inR1(len: Int): Boolean = w.length - len >= r1
 
-    // step 1: longest d-suffix, delete if in R1; s if valid s-ending
-    svStep1.find(w.endsWith) match {
-      case Some(s) if inR1(s.length) => w = w.dropRight(s.length)
-      case _ =>
-        if (w.endsWith("s") && inR1(1) && w.length >= 2 && svSEnding(w(w.length - 2)))
-          w = w.dropRight(1)
-    }
+    // step 1 — among limited to R1: longest suffix that FITS the region
+    // (a longer one crossing R1 does not shadow it); `s` needs a valid
+    // s-ending before it
+    (svStep1 :+ "s").filter(s => w.endsWith(s) && inR1(s.length))
+      .sortBy(-_.length).exists {
+        case "s" =>
+          if (w.length >= 2 && svSEnding(w(w.length - 2))) {
+            w = w.dropRight(1); true
+          } else false
+        case s => w = w.dropRight(s.length); true
+      }
     // step 2: shorten dd gd nn dt gt kt tt
     if (inR1(2) && Set("dd", "gd", "nn", "dt", "gt", "kt", "tt")(w.takeRight(2)))
       w = w.dropRight(1)
-    // step 3
+    // step 3 — among limited to R1 (Swedish has only lig/ig/els, no elig)
     if (w.endsWith("fullt") && inR1(5)) w = w.dropRight(1)
     else if (w.endsWith("löst") && inR1(4)) w = w.dropRight(1)
-    else Seq("elig", "lig", "els", "ig").find(w.endsWith) match {
-      case Some(s) if inR1(s.length) => w = w.dropRight(s.length)
-      case _                         => ()
+    else Seq("lig", "els", "ig").find(s => w.endsWith(s) && inR1(s.length)) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case _       => ()
     }
     w
   }
@@ -182,26 +186,27 @@ object Stemmers {
     val r1 = r1Min3(w, isV)
     @inline def inR1(len: Int): Boolean = w.length - len >= r1
 
-    // step 1: longest among the d-suffixes / erte|ert -> er / s-ending s
-    val erte = if (w.endsWith("erte")) 4 else if (w.endsWith("ert")) 3 else 0
-    val d = noStep1.find(w.endsWith).filter(s => inR1(s.length))
-    if (erte > 0 && inR1(erte) && erte >= d.map(_.length).getOrElse(0))
-      w = w.dropRight(erte) + "er"
-    else d match {
-      case Some(s) => w = w.dropRight(s.length)
-      case None =>
-        if (w.endsWith("s") && inR1(1) && w.length >= 2 && {
+    // step 1 — among limited to R1 (longest FITTING suffix wins):
+    // d-suffixes delete, erte|ert -> er, `s` needs a valid s-ending
+    (noStep1 ++ Seq("erte", "ert", "s"))
+      .filter(s => w.endsWith(s) && inR1(s.length))
+      .sortBy(-_.length).headOption match {
+      case Some(s @ ("erte" | "ert")) => w = w.dropRight(s.length) + "er"
+      case Some("s") =>
+        if (w.length >= 2 && {
           val p = w(w.length - 2)
           noSEnding(p) || (p == 'k' && (w.length < 3 || !isV(w(w.length - 3))))
         }) w = w.dropRight(1)
+      case Some(s) => w = w.dropRight(s.length)
+      case None    => ()
     }
     // step 2: shorten dt / vt
     if (inR1(2) && (w.endsWith("dt") || w.endsWith("vt"))) w = w.dropRight(1)
-    // step 3
+    // step 3 — among limited to R1: longest suffix that FITS the region
     Seq("hetslov", "eleg", "elig", "elov", "slov", "leg", "eig", "lig",
-        "els", "lov", "ig").find(w.endsWith) match {
-      case Some(s) if inR1(s.length) => w = w.dropRight(s.length)
-      case _                         => ()
+        "els", "lov", "ig").find(s => w.endsWith(s) && inR1(s.length)) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case _       => ()
     }
     w
   }
@@ -228,21 +233,25 @@ object Stemmers {
     def step2(): Unit =
       if (inR1(2) && Set("gd", "dt", "gt", "kt")(w.takeRight(2))) w = w.dropRight(1)
 
-    // step 1
-    daStep1.find(w.endsWith) match {
-      case Some(s) if inR1(s.length) => w = w.dropRight(s.length)
-      case _ =>
-        if (w.endsWith("s") && inR1(1) && w.length >= 2 && daSEnding(w(w.length - 2)))
-          w = w.dropRight(1)
-    }
+    // step 1 — among: longest suffix fitting R1; the `s` entry's condition
+    // failing does not block shorter entries (there are none after `s`)
+    (daStep1 :+ "s").filter(s => w.endsWith(s) && inR1(s.length))
+      .sortBy(-_.length).exists {
+        case "s" =>
+          if (w.length >= 2 && daSEnding(w(w.length - 2))) {
+            w = w.dropRight(1); true
+          } else false
+        case s => w = w.dropRight(s.length); true
+      }
     // step 2
     step2()
-    // step 3
+    // step 3 — among limited to R1: longest suffix that FITS the region
     if (w.endsWith("igst")) w = w.dropRight(2)
     if (w.endsWith("løst") && inR1(4)) w = w.dropRight(1)
-    else Seq("elig", "lig", "els", "ig").find(w.endsWith) match {
-      case Some(s) if inR1(s.length) => w = w.dropRight(s.length); step2()
-      case _                         => ()
+    else Seq("elig", "lig", "els", "ig")
+      .find(s => w.endsWith(s) && inR1(s.length)) match {
+      case Some(s) => w = w.dropRight(s.length); step2()
+      case _       => ()
     }
     // step 4: undouble — final double consonant in R1 loses one letter
     if (inR1(1) && w.length >= 2 && w(w.length - 1) == w(w.length - 2) &&

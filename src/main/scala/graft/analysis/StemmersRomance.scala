@@ -175,8 +175,10 @@ object StemmersRomance {
       y match {
         case Some(s) => w = w.dropRight(s.length)
         case None =>
-          esStep2bAll.find(w.endsWith) match {
-            case Some(s) if inRV(s.length) =>
+          // among limited to RV: the longest suffix that FITS the region
+          // matches (a longer one crossing RV does not shadow it)
+          esStep2bAll.find(s => w.endsWith(s) && inRV(s.length)) match {
+            case Some(s) =>
               w = w.dropRight(s.length)
               if (esStep2bGu(s) && w.endsWith("gu")) w = w.dropRight(1)
             case _ => ()
@@ -333,11 +335,12 @@ object StemmersRomance {
       case _ => ()
     }
 
-    // ---- step 2: verb suffixes (only if step 1 removed nothing)
+    // ---- step 2: verb suffixes (only if step 1 removed nothing);
+    // among limited to RV — longest suffix that fits the region
     if (w == before1) {
-      itStep2.find(w.endsWith) match {
-        case Some(s) if inRV(s.length) => w = w.dropRight(s.length)
-        case _                         => ()
+      itStep2.find(s => w.endsWith(s) && inRV(s.length)) match {
+        case Some(s) => w = w.dropRight(s.length)
+        case _       => ()
       }
     }
 
@@ -379,6 +382,7 @@ object StemmersRomance {
     "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam", "aram",
     "eram", "iram", "avam", "em", "arem", "erem", "irem", "assem", "essem",
     "issem", "ado", "ido", "ando", "endo", "indo", "ara~o", "era~o", "ira~o",
+    "ira", "iras",
     "ar", "er", "ir", "as", "adas", "idas", "ias", "arias", "erias", "irias",
     "arás", "aras", "erás", "eras", "irás", "avas", "es", "ardes", "erdes",
     "irdes", "ares", "eres", "ires", "asses", "esses", "isses", "astes",
@@ -452,11 +456,12 @@ object StemmersRomance {
       case _ => ()
     }
 
-    // ---- step 2: verb suffixes (only if step 1 removed nothing)
+    // ---- step 2: verb suffixes (only if step 1 removed nothing);
+    // among limited to RV — longest suffix that fits the region
     if (w == before1) {
-      ptStep2.find(w.endsWith) match {
-        case Some(s) if inRV(s.length) => w = w.dropRight(s.length)
-        case _                         => ()
+      ptStep2.find(s => w.endsWith(s) && inRV(s.length)) match {
+        case Some(s) => w = w.dropRight(s.length)
+        case _       => ()
       }
     }
 
@@ -648,20 +653,20 @@ object StemmersRomance {
       }
       if (w != before2a) altered = true
       else {
-        // ---- step 2b: other verb suffixes
+        // ---- step 2b: other verb suffixes — among limited to RV, with
+        // backtracking to the next-longest fitting suffix when a
+        // condition (ions: R2) fails
         val before2b = w
-        frStep2bAll.find(w.endsWith) match {
-          case Some("ions") =>
-            if (inR2(4) && inRV(4)) w = w.dropRight(4)
-          case Some(s) if frStep2bEr(s) =>
-            if (inRV(s.length)) w = w.dropRight(s.length)
-          case Some(s) if frStep2bA(s) =>
-            if (inRV(s.length)) {
+        frStep2bAll.filter(s => w.endsWith(s) && inRV(s.length))
+          .sortBy(-_.length).exists {
+            case "ions" =>
+              if (inR2(4)) { w = w.dropRight(4); true } else false
+            case s if frStep2bEr(s) => w = w.dropRight(s.length); true
+            case s => // the `a` group: delete, then a preceding e in RV
               w = w.dropRight(s.length)
               if (w.endsWith("e") && inRV(1)) w = w.dropRight(1)
-            }
-          case _ => ()
-        }
+              true
+          }
         altered = w != before2b
       }
     }
