@@ -272,6 +272,9 @@ object Analysis {
     case "pt_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersRomance.stemPortuguese(t.text)))
     case "fi_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersUralic.stemFinnish(t.text)))
     case "hu_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersUralic.stemHungarian(t.text)))
+    case "ro_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersEastern.stemRomanian(t.text)))
+    case "tr_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersEastern.stemTurkish(t.text)))
+    case "el_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersEastern.stemGreek(t.text)))
     case "ascii"      => simpleTokenize(text).map(t => t.copy(text = asciiFold(t.text)))
     case "ip"         => rawTokenize(text).flatMap(t =>
       canonicalIpv6(t.text).map(c => t.copy(text = c)))

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.analysis.{Stemmer, Stemmers, StemmersRomance, StemmersUralic}
+import graft.analysis.{Stemmer, Stemmers, StemmersRomance, StemmersUralic, StemmersEastern}
 import scala.io.Source
 
 /** Diff our Snowball implementations against golden vectors harvested from
@@ -21,14 +21,22 @@ object StemCheck {
     "italian" -> StemmersRomance.stemItalian,
     "portuguese" -> StemmersRomance.stemPortuguese,
     "finnish" -> StemmersUralic.stemFinnish,
-    "hungarian" -> StemmersUralic.stemHungarian
+    "hungarian" -> StemmersUralic.stemHungarian,
+    "romanian" -> StemmersEastern.stemRomanian,
+    "turkish" -> StemmersEastern.stemTurkish,
+    "greek" -> StemmersEastern.stemGreek,
+    "arabic" -> StemmersEastern.stemArabic
   )
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val langs = if (args.length > 1) args.drop(1).toSeq else fns.keys.toSeq.sorted
     var anyFail = false
-    for (lang <- langs; fn <- fns.get(lang)) {
+    val report = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream("/tmp/stemdiff.txt"), "UTF-8"))
+    // a vector file may be named <lang>_<variant>.tsv
+    for (lang <- langs; fn <- fns.get(lang.split('_')(0))) {
       val src = Source.fromFile(s"$dir/$lang.tsv", "UTF-8")
       val pairs = try src.getLines().toVector.map { l =>
         val t = l.split('\t'); (t(0), if (t.length > 1) t(1) else "")
@@ -38,11 +46,12 @@ object StemCheck {
         if (got != want) Some((w, want, got)) else None
       }
       println(f"$lang%-12s ${pairs.size - bad.size}%5d/${pairs.size}%-5d ok")
-      bad.take(args.sliding(1).size * 15).foreach { case (w, want, got) =>
-        println(s"    $w: want=$want got=$got")
+      bad.foreach { case (w, want, got) =>
+        report.println(s"$lang\t$w\twant=$want\tgot=$got")
       }
       if (bad.nonEmpty) anyFail = true
     }
+    report.close()
     if (anyFail) sys.exit(1)
   }
 }

