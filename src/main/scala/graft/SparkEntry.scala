@@ -472,6 +472,32 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"))
         .orderBy("lang", "doc_id")
     },
+    // gap-free histogram (min_doc_count=0 default): empty buckets emitted
+    // across the extended_bounds-widened axis (histogram.rs:554-587)
+    "agg_histogram_empty_buckets" -> ((s, dir) =>
+      Aggregations.histogram(s.read.parquet(s"$dir/events.parquet"), "value",
+        interval = 20.0, extendedBounds = Some((-100.0, 600.0)))),
+    // hard_bounds: values outside [50, 310] never collected, axis clamped
+    // to the bounds' bucket positions (histogram.rs:251-253,421-424,565-567)
+    "agg_histogram_hard_bounds" -> ((s, dir) =>
+      Aggregations.histogram(s.read.parquet(s"$dir/events.parquet"), "value",
+        interval = 20.0, hardBounds = Some((50.0, 310.0)))),
+    // min_doc_count > 0 filters sparse buckets instead of gap-filling
+    "agg_histogram_min_doc" -> ((s, dir) =>
+      Aggregations.histogram(s.read.parquet(s"$dir/events.parquet"), "value",
+        interval = 1.0, minDocCount = 15)),
+    // terms `missing` (term_missing_agg.rs): null keys bucketed under the
+    // replacement; nullif derives a null-bearing column from the corpus
+    "agg_terms_missing" -> ((s, dir) =>
+      Aggregations.terms(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("lang_key", expr("nullif(lang, 'en')")),
+        "lang_key", name = "lang_key", orderByCountDesc = false,
+        missing = Some("(none)"))),
+    // terms order=key asc + size (term_agg.rs request surface)
+    "agg_terms_opts" -> ((s, dir) =>
+      Aggregations.terms(s.read.parquet(s"$dir/events.parquet"),
+        "event_type", name = "event_type", size = 3, orderByCountDesc = false)),
 
     // ---- deduplication ----
     "dedup_exact" -> ((s, dir) =>
@@ -876,6 +902,36 @@ object SparkEntry {
         |SELECT lang, doc_id, n_chars,
         |row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
         |FROM documents) WHERE rk <= 2 ORDER BY lang, doc_id""".stripMargin,
+    // floor(-100/20) = -5, floor(600/20) = 30: the extended_bounds bucket
+    // positions, replayed as constants like the Scala side's ordOf
+    "agg_histogram_empty_buckets" ->
+      """WITH o AS (SELECT CAST(floor(value / 20e0) AS BIGINT) AS ord, count(*) AS cnt
+        |FROM events GROUP BY 1),
+        |b AS (SELECT least(min(ord), CAST(-5 AS BIGINT)) AS lo,
+        |greatest(max(ord), CAST(30 AS BIGINT)) AS hi FROM o),
+        |r AS (SELECT unnest(generate_series(lo, hi)) AS ord FROM b)
+        |SELECT CAST(ord AS DOUBLE) * 20e0 AS bucket,
+        |coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
+        |FROM r LEFT JOIN o USING (ord) ORDER BY bucket""".stripMargin,
+    "agg_histogram_hard_bounds" ->
+      """WITH o AS (SELECT CAST(floor(value / 20e0) AS BIGINT) AS ord, count(*) AS cnt
+        |FROM events WHERE value >= 50e0 AND value <= 310e0 GROUP BY 1),
+        |b AS (SELECT greatest(min(ord), CAST(2 AS BIGINT)) AS lo,
+        |least(max(ord), CAST(15 AS BIGINT)) AS hi FROM o),
+        |r AS (SELECT unnest(generate_series(lo, hi)) AS ord FROM b)
+        |SELECT CAST(ord AS DOUBLE) * 20e0 AS bucket,
+        |coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
+        |FROM r LEFT JOIN o USING (ord) ORDER BY bucket""".stripMargin,
+    "agg_histogram_min_doc" ->
+      """SELECT CAST(CAST(floor(value / 1e0) AS BIGINT) AS DOUBLE) * 1e0 AS bucket,
+        |count(*) AS cnt FROM events GROUP BY 1
+        |HAVING count(*) >= 15 ORDER BY bucket""".stripMargin,
+    "agg_terms_missing" ->
+      """SELECT coalesce(nullif(lang, 'en'), '(none)') AS lang_key, count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_terms_opts" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY 1 LIMIT 3""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS cnt FROM documents

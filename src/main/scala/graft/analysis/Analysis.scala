@@ -236,6 +236,22 @@ object Analysis {
 
   val DefaultRemoveLongLimit = 40
 
+  /** MAX_TOKEN_LEN (`src/tokenizer/mod.rs:166` = u16::MAX - 5): the postings
+    * writer drops any token whose UTF-8 byte length exceeds this at
+    * subscribe time, regardless of the analyzer chain
+    * (`postings_writer.rs:139-147`) — dropped tokens keep later tokens'
+    * positions unchanged and do NOT count toward the fieldnorm or
+    * total_num_tokens (num_tokens increments only for subscribed tokens).
+    */
+  val MaxTokenLen = 65535 - 5
+
+  /** Fast indexing-time check: chars*3 bounds UTF-8 bytes for the BMP, so
+    * ordinary tokens skip the exact byte count entirely (supplementary
+    * chars are 2 `Char`s for 4 bytes, still within 3x).
+    */
+  @inline def withinMaxTokenLen(s: String): Boolean =
+    s.length * 3 <= MaxTokenLen || utf8Length(s) <= MaxTokenLen
+
   /** The "default" analyzer chain — Simple -> RemoveLong(40) -> Lower.
     * This one function is used identically at index and query time.
     */
@@ -247,6 +263,32 @@ object Analysis {
   /** Term stream convenience: (term, position) pairs from the default chain. */
   def defaultTerms(text: String): Seq[(String, Int)] =
     defaultAnalyze(text).map(t => (t.text, t.position))
+
+  /** Multi-valued field analysis (`postings_writer.rs:136-160`): each value
+    * runs through the chain, and the next value's positions continue from
+    * `max(start + position_length) + POSITION_GAP` of the previous one
+    * (POSITION_GAP = 1, `postings_writer.rs:17,157`) — so a phrase can
+    * never match across a value boundary at slop 0, but does at slop >= 1.
+    * A value with no tokens still advances the gap (end_position is
+    * unchanged by tokens, then +GAP). Null elements are skipped entirely
+    * (a reference document simply wouldn't contain them).
+    */
+  def multiValueTerms(chain: String, values: Seq[String]): Seq[(String, Int)] = {
+    var end = 0
+    val out = Seq.newBuilder[(String, Int)]
+    values.foreach { v =>
+      if (v != null) {
+        var maxEnd = end
+        analyzeChain(chain, v).foreach { t =>
+          val p = end + t.position
+          out += ((t.text, p))
+          if (p + 1 > maxEnd) maxEnd = p + 1
+        }
+        end = maxEnd + 1
+      }
+    }
+    out.result()
+  }
 
   /** Named analyzer registry (`src/tokenizer/tokenizer_manager.rs:83-104`,
     * the chains registered by default): dispatch for `FieldDef.tokenizer`.

@@ -52,12 +52,19 @@ object IndexBuilder {
     val tok = f.tokenizer
     val isPre = dm.schema(f.name).dataType
       .isInstanceOf[org.apache.spark.sql.types.ArrayType]
-    if (isPre) coalesce(size(col(f.name)).cast("long"), lit(0L))
+    // MAX_TOKEN_LEN parity: stats count only subscribed tokens (see
+    // perFieldTerms), so over-long tokens are excluded here too
+    if (isPre) coalesce(size(expr(
+      s"filter(${f.name}, t -> octet_length(t.text) <= ${Analysis.MaxTokenLen})"))
+      .cast("long"), lit(0L))
     else {
       val cntU = udf((v: String) =>
         if (v == null) 0L
-        else if (tok == "json") JsonField.flatten(v, "default").length.toLong
-        else Analysis.analyzeChain(tok, v).length.toLong)
+        else if (tok == "json")
+          JsonField.flatten(v, "default")
+            .count(t => Analysis.withinMaxTokenLen(t._1)).toLong
+        else Analysis.analyzeChain(tok, v)
+          .count(t => Analysis.withinMaxTokenLen(t.text)).toLong)
       cntU(col(f.name).cast("string"))
     }
   }
@@ -77,7 +84,16 @@ object IndexBuilder {
     * basic = docs only (tf recorded as 1), freq = tf, position = tf + pos.
     */
   def perFieldTerms(segId: Int, docId: Int, field: String,
-                    terms: Seq[(String, Int)], record: String): Iterator[DocTermRow] = {
+                    rawTerms: Seq[(String, Int)], record: String): Iterator[DocTermRow] = {
+    // MAX_TOKEN_LEN drop (`postings_writer.rs:139-147`, limit
+    // `tokenizer/mod.rs:166`): over-long tokens are skipped at subscribe
+    // time whatever the chain, keeping other tokens' positions, and are
+    // excluded from the fieldnorm token count (num_tokens += happens after
+    // the skip). The default chain's RemoveLong(40) makes this a no-op
+    // there; it binds for raw/whitespace chains and pre-tokenized input.
+    val terms =
+      if (rawTerms.forall(t => Analysis.withinMaxTokenLen(t._1))) rawTerms
+      else rawTerms.filter(t => Analysis.withinMaxTokenLen(t._1))
     if (terms.isEmpty) Iterator.empty
     else {
       // fieldnorm byte from the doc's own (post-filter) token count —

@@ -66,11 +66,15 @@ object Aggregations {
     }
   }
 
-  /** A metric sub-agg: output column name + aggregate expression. */
-  final case class MetricAgg(name: String, expr: Column)
+  /** A metric sub-agg: output column name + aggregate expression. `isCount`
+    * marks doc-count metrics, which ES reports as 0 (not NULL) on
+    * gap-filled empty histogram buckets.
+    */
+  final case class MetricAgg(name: String, expr: Column, isCount: Boolean = false)
 
   object MetricAgg {
-    def count: MetricAgg = MetricAgg("cnt", org.apache.spark.sql.functions.count(lit(1)))
+    def count: MetricAgg =
+      MetricAgg("cnt", org.apache.spark.sql.functions.count(lit(1)), isCount = true)
     def sum(field: String, as: String = "sum"): MetricAgg =
       MetricAgg(as, org.apache.spark.sql.functions.sum(col(field)))
     def min(field: String, as: String = "min"): MetricAgg =
@@ -115,6 +119,95 @@ object Aggregations {
       }
     if (req.buckets.isEmpty) grouped
     else grouped.orderBy(req.buckets.map(b => asc_nulls_last(b.name)): _*)
+  }
+
+  /** Full ES histogram request semantics (`bucket/histogram/histogram.rs`):
+    *
+    *  - values outside `hardBounds` are never collected (per-value
+    *    `bounds.contains` = min <= v <= max, `histogram.rs:251-253,421-424`);
+    *  - with `minDocCount == 0` (the default) the bucket axis is GAP-FREE:
+    *    from the min/max collected bucket key, widened by `extendedBounds`,
+    *    clamped by `hardBounds` (`get_req_min_max`, `histogram.rs:554-572`),
+    *    one bucket per position in [floor((min-offset)/interval),
+    *    floor((max-offset)/interval)] (`generate_bucket_pos_with_opt_minmax`,
+    *    `histogram.rs:574-587`), empty buckets carrying count 0;
+    *  - with `minDocCount > 0` empty buckets are filtered instead
+    *    (`histogram.rs:64-66`), and combining it with extendedBounds is a
+    *    request error (`histogram.rs:183-186`), as is extendedBounds outside
+    *    hardBounds (`histogram.rs:189-195`).
+    *
+    * Scale shape: ONE groupBy over bucket ordinals; the gap fill is a
+    * single-row bounds aggregate exploded through `sequence` and
+    * left-joined — the bucket axis is sized by range/interval, never by
+    * data volume, so the join's build side stays broadcast-sized at 100 TB.
+    */
+  def histogram(df: DataFrame, field: String, interval: Double,
+      offset: Double = 0.0, minDocCount: Long = 0,
+      extendedBounds: Option[(Double, Double)] = None,
+      hardBounds: Option[(Double, Double)] = None,
+      metrics: Seq[MetricAgg] = Seq(MetricAgg.count),
+      name: String = "bucket"): DataFrame = {
+    require(interval > 0, "interval must be positive")
+    require(minDocCount == 0 || extendedBounds.isEmpty,
+      "Cannot set min_doc_count and extended_bounds at the same time")
+    for (eb <- extendedBounds; hb <- hardBounds)
+      require(eb._1 >= hb._1 && eb._2 <= hb._2,
+        "extended_bounds have to be inside hard_bounds")
+    def ordOf(x: Double): Long = math.floor((x - offset) / interval).toLong
+    val v = col(field).cast("double")
+    val collected = hardBounds
+      .map { case (lo, hi) => df.where(v >= lo && v <= hi) }.getOrElse(df)
+    // internal doc count drives minDocCount and the empty-bucket fill even
+    // when the caller's metric list has no count
+    val aggs = count(lit(1)).as("__cnt") +: metrics.map(m => m.expr.as(m.name))
+    val grouped = collected
+      .groupBy(floor((v - offset) / interval).cast("long").as("__ord"))
+      .agg(aggs.head, aggs.tail: _*)
+    val keyCol = (col("__ord").cast("double") * interval + offset).as(name)
+    val outCols = keyCol +: metrics.map { m =>
+      // ES reports doc_count 0 on filled buckets; other metrics stay NULL
+      if (m.isCount) coalesce(col(m.name), lit(0L)).as(m.name) else col(m.name)
+    }
+    if (minDocCount > 0)
+      grouped.where(col("__cnt") >= minDocCount).select(outCols: _*).orderBy(name)
+    else {
+      // floor is monotone, so clamping at ordinal granularity equals the
+      // reference's clamp on keys followed by ordinal conversion
+      var lo = min(col("__ord")).cast("long")
+      var hi = max(col("__ord")).cast("long")
+      for ((l, h) <- extendedBounds) {
+        lo = least(coalesce(lo, lit(ordOf(l))), lit(ordOf(l)))
+        hi = greatest(coalesce(hi, lit(ordOf(h))), lit(ordOf(h)))
+      }
+      for ((l, h) <- hardBounds) {
+        lo = greatest(lo, lit(ordOf(l))); hi = least(hi, lit(ordOf(h)))
+      }
+      val axis = grouped.agg(lo.as("lo"), hi.as("hi"))
+        .where(col("lo").isNotNull && col("lo") <= col("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("__ord"))
+      axis.join(grouped, Seq("__ord"), "left").select(outCols: _*).orderBy(name)
+    }
+  }
+
+  /** ES terms request surface (`bucket/term_agg.rs`: `size`, `order`,
+    * `min_doc_count`; `bucket/term_missing_agg.rs`: `missing` buckets the
+    * null-valued docs under a replacement key). One groupBy; the size cut is
+    * orderBy+limit — Spark's TakeOrdered after partial aggregation is the
+    * same network shape as the reference's per-segment top cut merged
+    * globally.
+    */
+  def terms(df: DataFrame, field: String, name: String = "key",
+      size: Int = Int.MaxValue, orderByCountDesc: Boolean = true,
+      minDocCount: Long = 1, missing: Option[String] = None,
+      metrics: Seq[MetricAgg] = Nil): DataFrame = {
+    val key = missing
+      .map(m => coalesce(col(field).cast("string"), lit(m))).getOrElse(col(field))
+    val aggs = count(lit(1)).as("cnt") +: metrics.map(m => m.expr.as(m.name))
+    var out = df.groupBy(key.as(name)).agg(aggs.head, aggs.tail: _*)
+    if (minDocCount > 1) out = out.where(col("cnt") >= minDocCount)
+    out = if (orderByCountDesc) out.orderBy(desc("cnt"), asc(name))
+          else out.orderBy(asc(name))
+    if (size != Int.MaxValue) out.limit(size) else out
   }
 
   /** A node of an arbitrary sub-aggregation TREE (`agg_req.rs:120-171`):
