@@ -52,7 +52,16 @@ object Engine {
         // deterministically so DuckDB replays the equivalent predicates
         expr("""to_json(named_struct(
                   'src', source,
-                  'info', named_struct('lang', lang, 'n', n_chars)))""").as("meta"))
+                  'info', named_struct('lang', lang, 'n', n_chars)))""").as("meta"),
+        // MULTI-VALUED text field (the same field added several times per
+        // doc, `postings_writer.rs:136-160`): three single-token values,
+        // so positions land at 0 / 2 / 4 under POSITION_GAP = 1 — a term
+        // matches any element; a phrase never crosses a value at slop 0
+        expr("""array(lang, source, concat('t', CAST(doc_id % 5 AS STRING)))""")
+          .as("tags"),
+        // MULTI-VALUED numeric fast field (columnar multivalue column):
+        // RangeQ/ExistsQ match when ANY element satisfies the bounds
+        expr("array(n_chars, n_chars * CAST(3 AS BIGINT))").as("sizes"))
 
   private val searchers = new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
 
@@ -71,7 +80,12 @@ object Engine {
       FieldDef.U64("nchars"), FieldDef.DATE("mtime"),
       FieldDef.BOOL("even"), FieldDef.BYTES("blob"),
       // schema-less JSON object field (doc/src/json.md)
-      FieldDef("meta", "json", "position")))
+      FieldDef("meta", "json", "position"),
+      // multi-valued text field: array<string> input column, per-value
+      // analysis with POSITION_GAP=1 position continuation
+      FieldDef("tags", "default", "position")),
+    // multivalued numeric fast field: stored in docmap, never tokenized
+    fastFields = Seq("sizes"))
 
   /** Parser compile options matching docsConfig's schema: per-field
     * analyzer chains + the numeric docmap fast-field columns.

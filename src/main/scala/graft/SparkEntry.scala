@@ -115,6 +115,20 @@ object SparkEntry {
         PhrasePrefixQ(Seq(0 -> "order"), prefix = 1 -> "s"))),
     "ft_term_set" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir), TermSetQ(Set("dup", "vector")))),
+    // ---- multi-valued fields (postings_writer.rs:136-160; columnar
+    // multivalue fast columns) ----
+    // term matches ANY element of the array-valued `tags` field
+    "ft_multivalue_term" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir), FieldQ("tags", TermQ("src5")))),
+    // values sit at positions 0/2/4 (POSITION_GAP=1), so a cross-value
+    // phrase needs slop 1 — lang followed by source
+    "ft_multivalue_phrase" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        FieldQ("tags", PhraseQ(Seq(0 -> "en", 1 -> "src3"), slop = 1)))),
+    // multivalued numeric fast field: range matches any element
+    "ft_multivalue_range" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        RangeQ("sizes", Some((150.0, true)), Some((400.0, true))))),
     // multi-field schema: the STRING-preset field `lang` (raw tokenizer,
     // docs-only) scoped via FieldQ, intersected with a default-field term —
     // same query text against different fields yields different results
@@ -472,6 +486,12 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"))
         .orderBy("lang", "doc_id")
     },
+    // the reference's date_histogram is fixed_interval ONLY
+    // (date_histogram.rs:40-54): a plain histogram over epoch ms, keys =
+    // epoch-ms doubles, gap-free at min_doc_count 0
+    "agg_date_histogram_fixed" -> ((s, dir) =>
+      Aggregations.dateHistogram(s.read.parquet(s"$dir/events.parquet"),
+        "ts", fixedInterval = "12h")),
     // gap-free histogram (min_doc_count=0 default): empty buckets emitted
     // across the extended_bounds-widened axis (histogram.rs:554-587)
     "agg_histogram_empty_buckets" -> ((s, dir) =>
@@ -693,6 +713,18 @@ object SparkEntry {
          |WHERE a.t = 'order' AND b.t LIKE 's%' ORDER BY doc_id""".stripMargin,
     "ft_term_set" ->
       s"WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t IN ('dup', 'vector') ORDER BY doc_id",
+    "ft_multivalue_term" ->
+      """SELECT doc_id FROM documents
+        |WHERE lang = 'src5' OR source = 'src5'
+        |OR concat('t', CAST(doc_id % 5 AS VARCHAR)) = 'src5'
+        |ORDER BY doc_id""".stripMargin,
+    "ft_multivalue_phrase" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en' AND source = 'src3'
+        |ORDER BY doc_id""".stripMargin,
+    "ft_multivalue_range" ->
+      """SELECT doc_id FROM documents
+        |WHERE (n_chars BETWEEN 150 AND 400) OR (n_chars * 3 BETWEEN 150 AND 400)
+        |ORDER BY doc_id""".stripMargin,
     "ft_field_scoped" ->
       s"""WITH $tokCte SELECT DISTINCT doc_id FROM documents
          |WHERE lang = 'en' AND doc_id IN (SELECT doc_id FROM tok WHERE t = 'spark')
@@ -902,6 +934,14 @@ object SparkEntry {
         |SELECT lang, doc_id, n_chars,
         |row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
         |FROM documents) WHERE rk <= 2 ORDER BY lang, doc_id""".stripMargin,
+    "agg_date_histogram_fixed" ->
+      """WITH o AS (SELECT CAST(floor(epoch_ms(ts) / 43200000e0) AS BIGINT) AS ord,
+        |count(*) AS cnt FROM events GROUP BY 1),
+        |b AS (SELECT min(ord) AS lo, max(ord) AS hi FROM o),
+        |r AS (SELECT unnest(generate_series(lo, hi)) AS ord FROM b)
+        |SELECT CAST(ord AS DOUBLE) * 43200000e0 AS key,
+        |coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
+        |FROM r LEFT JOIN o USING (ord) ORDER BY key""".stripMargin,
     // floor(-100/20) = -5, floor(600/20) = 30: the extended_bounds bucket
     // positions, replayed as constants like the Scala side's ordOf
     "agg_histogram_empty_buckets" ->

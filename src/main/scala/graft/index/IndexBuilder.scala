@@ -50,13 +50,24 @@ object IndexBuilder {
     */
   def fieldTokenCountCol(dm: DataFrame, f: FieldDef): org.apache.spark.sql.Column = {
     val tok = f.tokenizer
-    val isPre = dm.schema(f.name).dataType
-      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val mode = dm.schema(f.name).dataType match {
+      case at: org.apache.spark.sql.types.ArrayType =>
+        if (at.elementType.isInstanceOf[org.apache.spark.sql.types.StringType]) 2 else 1
+      case _ => 0
+    }
     // MAX_TOKEN_LEN parity: stats count only subscribed tokens (see
     // perFieldTerms), so over-long tokens are excluded here too
-    if (isPre) coalesce(size(expr(
+    if (mode == 1) coalesce(size(expr(
       s"filter(${f.name}, t -> octet_length(t.text) <= ${Analysis.MaxTokenLen})"))
       .cast("long"), lit(0L))
+    else if (mode == 2) {
+      // multi-valued field: total tokens across all values under the chain
+      val cntMv = udf((vs: Seq[String]) =>
+        if (vs == null) 0L
+        else Analysis.multiValueTerms(tok, vs)
+          .count(t => Analysis.withinMaxTokenLen(t._1)).toLong)
+      cntMv(col(f.name))
+    }
     else {
       val cntU = udf((v: String) =>
         if (v == null) 0L
@@ -297,7 +308,8 @@ object IndexBuilder {
         val fixedDocmapCols = Seq("segId", "docId", "repo", "path", "commit",
           "lang", "sha256", "normId", "tokenCount", "contentLen", "content")
         val extraDocmapCols =
-          cfg.extraFields.map(_.name).filterNot(fixedDocmapCols.contains)
+          (cfg.extraFields.map(_.name) ++ cfg.fastFields)
+            .distinct.filterNot(fixedDocmapCols.contains)
         val docmap = base
           .withColumn("tokenCount", tokenCountU($"content"))
           .withColumn("normId", fieldnormToIdUdf($"tokenCount"))
@@ -326,22 +338,40 @@ object IndexBuilder {
           else {
             // multi-field analysis: each extra field analyzed by ITS chain
             // with ITS record option, concatenated into one posting stream.
-            // Pre-tokenized input (`src/tokenizer/tokenized_string.rs`):
-            // an extra field whose input column is array<struct<text,
-            // position>> is indexed verbatim, bypassing the analyzer —
-            // the Spark-typed equivalent of the reference's per-value
-            // Value::PreTokStr dispatch in add_document.
-            val preTok: Array[Boolean] = extras.map(f =>
-              docmapW.schema(f.name).dataType
-                .isInstanceOf[org.apache.spark.sql.types.ArrayType]).toArray
+            // Array-typed input columns dispatch on element type, mirroring
+            // the reference's per-value dispatch in add_document:
+            //  - array<struct<text, position>> = pre-tokenized input
+            //    (`src/tokenizer/tokenized_string.rs`), indexed verbatim;
+            //  - array<string> = a MULTI-VALUED field (the same field added
+            //    several times per doc): each value analyzed by the chain,
+            //    positions continuing across values with POSITION_GAP = 1
+            //    (`postings_writer.rs:17,157`).
+            val fieldMode: Array[Int] = extras.map { f =>
+              docmapW.schema(f.name).dataType match {
+                case at: org.apache.spark.sql.types.ArrayType =>
+                  at.elementType match {
+                    case _: org.apache.spark.sql.types.StringType => 2
+                    case _: org.apache.spark.sql.types.StructType => 1
+                    case other => throw new IllegalArgumentException(
+                      s"extra field ${f.name}: array<$other> is not indexable — " +
+                      "use IndexConfig.fastFields for multivalued numeric columns")
+                  }
+                case _ => 0
+              }
+            }.toArray
             val cols = Seq($"segId", $"docId", $"content") ++
               extras.zipWithIndex.map { case (f, i) =>
-                if (preTok(i)) col(f.name) else col(f.name).cast("string") }
+                if (fieldMode(i) != 0) col(f.name) else col(f.name).cast("string") }
             docmapW.select(cols: _*).flatMap { row =>
               val s = row.getInt(0); val d = row.getInt(1)
               perDocTerms(s, d, row.getString(2), withPos, primaryField) ++
                 extras.iterator.zipWithIndex.flatMap { case (f, i) =>
-                  if (preTok(i)) {
+                  if (fieldMode(i) == 2) {
+                    val vals = row.getSeq[String](3 + i)
+                    if (vals == null || vals.isEmpty) Iterator.empty
+                    else perFieldTerms(s, d, f.name,
+                      Analysis.multiValueTerms(f.tokenizer, vals), f.record)
+                  } else if (fieldMode(i) == 1) {
                     val toks = row.getSeq[org.apache.spark.sql.Row](3 + i)
                     if (toks == null || toks.isEmpty) Iterator.empty
                     else perFieldTerms(s, d, f.name,

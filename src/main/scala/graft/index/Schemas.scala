@@ -119,6 +119,13 @@ final case class IndexConfig(
       * fast block codec). "none" | "snappy" | "lz4" | "zstd".
       */
     storeCodec: String = "snappy",
+    /** Fast-only columns (`NumericOptions::set_fast` without
+      * `set_indexed`, `src/schema/numeric_options.rs`): input columns
+      * copied into the docmap (the fast-field store) verbatim but never
+      * tokenized — including ARRAY columns, the columnar crate's
+      * multivalued fast fields, which RangeQ/ExistsQ match per-element.
+      */
+    fastFields: Seq[String] = Seq.empty,
     /** Per-segment doc-count cap (`merger.rs:24-27` MAX_DOC_LIMIT = 1<<31):
       * enforced at build time — a segment reaching the cap fails the build
       * with guidance to raise numSegments (the reference errors the same
@@ -137,7 +144,8 @@ final case class IndexConfig(
       else extraFields.map(f => s"${f.name},${f.tokenizer},${f.record}")
         .mkString("|ef:", ";", "")
     val cc = if (storeCodec == "snappy") "" else s"|cc:$storeCodec"
-    val s = s"v1|$numSegments|$field|$blockSize|$withPositions|$buildBatches$ef$cc"
+    val ff = if (fastFields.isEmpty) "" else fastFields.mkString("|ff:", ";", "")
+    val s = s"v1|$numSegments|$field|$blockSize|$withPositions|$buildBatches$ef$cc$ff"
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
   }

@@ -189,6 +189,48 @@ object Aggregations {
     }
   }
 
+  /** `parse_into_milliseconds` (`bucket/histogram/date_histogram.rs:
+    * 180-213`): "<digits><unit>", units ms/s/m/h/d (with long aliases);
+    * calendar units are NOT accepted — the reference only supports
+    * fixed_interval (`date_histogram.rs:40-54`, calendar_interval errors).
+    */
+  def parseFixedInterval(input: String): Long = {
+    val digits = input.takeWhile(_.isDigit)
+    require(digits.nonEmpty, s"number missing in interval: $input")
+    val unit = input.drop(digits.length)
+    require(unit.nonEmpty, s"unit missing in interval: $input")
+    val unitMs = unit match {
+      case "ms" | "milliseconds" => 1L
+      case "s" | "seconds"       => 1000L
+      case "m" | "minutes"       => 60L * 1000
+      case "h" | "hours"         => 60L * 60 * 1000
+      case "d" | "days"          => 24L * 60 * 60 * 1000
+      case other => throw new IllegalArgumentException(s"unit not recognized: $other")
+    }
+    digits.toLong * unitMs
+  }
+
+  /** The reference's date_histogram (`bucket/histogram/date_histogram.rs`):
+    * fixed_interval ONLY, compiled to a plain histogram over epoch
+    * milliseconds (`date_histogram.rs:124`, interval in ms) — bucket keys
+    * are epoch-ms doubles, ES response shape. All histogram request options
+    * (offset/min_doc_count/bounds, also in ms) compose unchanged.
+    */
+  def dateHistogram(df: DataFrame, field: String, fixedInterval: String,
+      offsetMs: Long = 0, minDocCount: Long = 0,
+      extendedBoundsMs: Option[(Double, Double)] = None,
+      hardBoundsMs: Option[(Double, Double)] = None,
+      metrics: Seq[MetricAgg] = Seq(MetricAgg.count),
+      name: String = "key"): DataFrame = {
+    val ms = parseFixedInterval(fixedInterval).toDouble
+    // cast covers TIMESTAMP_NTZ parquet columns: under the UTC session tz
+    // the wall time is read as UTC, matching DuckDB's epoch_ms
+    histogram(df.withColumn("__dh_ms",
+        unix_millis(col(field).cast("timestamp")).cast("double")),
+      "__dh_ms", ms, offsetMs.toDouble, minDocCount,
+      extendedBoundsMs, hardBoundsMs, metrics, name)
+  }
+
   /** ES terms request surface (`bucket/term_agg.rs`: `size`, `order`,
     * `min_doc_count`; `bucket/term_missing_agg.rs`: `missing` buckets the
     * null-valued docs under a replacement key). One groupBy; the size cut is

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.score.Bm25
 
@@ -223,14 +223,31 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       }
       docsForTermsDf(allTermsFor(fld).where(within($"term")), fld)
     case RangeQ(columnName, lower, upper) =>
-      var df = docmap
-      lower.foreach { case (v, incl) =>
-        df = if (incl) df.where(col(columnName) >= v) else df.where(col(columnName) > v) }
-      upper.foreach { case (v, incl) =>
-        df = if (incl) df.where(col(columnName) <= v) else df.where(col(columnName) < v) }
+      // a multivalued fast field (array-typed docmap column, the columnar
+      // crate's multi-value columns) matches when ANY of its values is in
+      // range; scalar columns filter directly — both stay codegen'd scans
+      val isArr = docmap.schema(columnName).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      def bounds(x: Column): Column = {
+        var c = lit(true)
+        lower.foreach { case (v, incl) => c = c && (if (incl) x >= v else x > v) }
+        upper.foreach { case (v, incl) => c = c && (if (incl) x <= v else x < v) }
+        c
+      }
+      val df =
+        if (isArr) docmap.where(exists(col(columnName), bounds))
+        else docmap.where(bounds(col(columnName)))
       df.select($"segId", $"docId", lit(1.0f).as("score")).as[ScoredDoc]
     case ExistsQ(columnName) =>
-      docmap.where(col(columnName).isNotNull)
+      // exists on a multivalued fast field = the doc has at least one value
+      // (`exist_query.rs:36-94` checks value presence across the field's
+      // columns)
+      val isArr = docmap.schema(columnName).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      val pred =
+        if (isArr) col(columnName).isNotNull && size(col(columnName)) > 0
+        else col(columnName).isNotNull
+      docmap.where(pred)
         .select($"segId", $"docId", lit(1.0f).as("score")).as[ScoredDoc]
     case BoostQ(sub, boost) =>
       compileRaw(sub, fld).map(s => s.copy(score = s.score * boost))
@@ -605,16 +622,17 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
   }
 }
 
-/** Positional phrase matching, replicating `intersection_count_with_slop`
-  * semantics for slop 0 (exact relative offsets) and a positive-slop variant
-  * where each term may deviate so the total displacement stays <= slop.
+/** Positional phrase matching, replicating the reference's
+  * `phrase_scorer.rs` exactly: slop 0 is a positions intersection at exact
+  * relative offsets; slop > 0 shifts each term's positions by
+  * `max_offset - term_offset` (`phrase_scorer.rs:379-384`) and left-folds
+  * with `intersection_count_with_slop` (2 terms,
+  * `phrase_scorer.rs:145-190`) / `intersection_count_with_carrying_slop`
+  * (> 2 terms, `phrase_scorer.rs:232-345`) — the carried budget makes the
+  * reference's own test vectors hold ("a x b c" matches [a,b,c] at slop 1;
+  * "a b" matches [b,a] only at slop 2; `phrase_query/mod.rs:238-256`).
   */
 object PhraseMatcher {
-  /** Count base positions p such that term i occurs at p + offsets(i)
-    * (slop 0). For slop > 0, term i may occur at p + offsets(i) + d_i with
-    * sum(|d_i|) <= slop (transposition-friendly budget semantics,
-    * `phrase_query.rs:68-70`).
-    */
   def phraseCount(offsets: Array[Int], positions: Array[Array[Int]], slop: Int): Int =
     phraseCountCsr(offsets, positions, new Array[Int](positions.length),
       positions.map(_.length), slop)
@@ -622,16 +640,18 @@ object PhraseMatcher {
   /** CSR variant: term i's positions are `flats(i)(starts(i) until ends(i))`.
     * Lets the per-segment phrase executor score each leapfrog match without
     * materializing a positions array per (doc, term) — on hot phrases that
-    * is tens of thousands of allocations per segment task.
+    * is tens of thousands of allocations per segment task. (The slop > 0
+    * path does allocate the shifted copies; sloppy phrases are rare and the
+    * reference's scorer also materializes per-doc position vectors.)
     */
   def phraseCountCsr(offsets: Array[Int], flats: Array[Array[Int]],
                      starts: Array[Int], ends: Array[Int], slop: Int): Int = {
-    val first = flats(0)
-    var count = 0
-    var fi = starts(0)
-    while (fi < ends(0)) {
-      val base = first(fi) - offsets(0)
-      if (slop == 0) {
+    if (slop == 0) {
+      val first = flats(0)
+      var count = 0
+      var fi = starts(0)
+      while (fi < ends(0)) {
+        val base = first(fi) - offsets(0)
         var ok = true; var i = 1
         while (ok && i < offsets.length) {
           ok = java.util.Arrays.binarySearch(flats(i), starts(i), ends(i),
@@ -639,27 +659,139 @@ object PhraseMatcher {
           i += 1
         }
         if (ok) count += 1
-      } else {
-        var budget = slop; var ok = true; var i = 1
-        while (ok && i < offsets.length) {
-          val want = base + offsets(i)
-          // nearest occurrence to the wanted position
-          val arr = flats(i)
-          var ins = java.util.Arrays.binarySearch(arr, starts(i), ends(i), want)
-          if (ins >= 0) () // exact, costs 0
-          else {
-            ins = -ins - 1
-            var bestD = Int.MaxValue
-            if (ins < ends(i)) bestD = math.min(bestD, math.abs(arr(ins) - want))
-            if (ins > starts(i)) bestD = math.min(bestD, math.abs(arr(ins - 1) - want))
-            budget -= bestD
-            if (budget < 0) ok = false
-          }
+        fi += 1
+      }
+      count
+    } else {
+      // shifted positions: pos + (maxOffset - termOffset), so an exact
+      // phrase aligns every term to the same value (phrase_scorer.rs:379)
+      var maxOff = offsets(0); var i = 1
+      while (i < offsets.length) { if (offsets(i) > maxOff) maxOff = offsets(i); i += 1 }
+      def shifted(t: Int): Array[Int] = {
+        val d = maxOff - offsets(t)
+        val out = new Array[Int](ends(t) - starts(t))
+        var j = 0
+        while (j < out.length) { out(j) = flats(t)(starts(t) + j) + d; j += 1 }
+        out
+      }
+      if (offsets.length == 2)
+        countWithSlop(shifted(0), shifted(1), slop)
+      else {
+        var left = shifted(0)
+        var slops = new Array[Int](0) // empty = all zero so far
+        i = 1
+        while (i < offsets.length - 1 && left.nonEmpty) {
+          val (p, s) = carryingSlopFold(left, slops, shifted(i), slop)
+          left = p; slops = s
           i += 1
         }
-        if (ok) count += 1
+        if (left.isEmpty) 0
+        else carryingSlopCount(left, slops, shifted(offsets.length - 1), slop)
       }
-      fi += 1
+    }
+  }
+
+  /** `intersection_count_with_slop` (phrase_scorer.rs:145-190), count-only. */
+  private def countWithSlop(left: Array[Int], right: Array[Int], slop: Int): Int = {
+    var li = 0; var ri = 0; var count = 0
+    while (li < left.length && ri < right.length) {
+      val l = left(li); val r = right(ri)
+      if (math.abs(l - r) <= slop) {
+        // advance to the best left for this right (same-range later value)
+        while (li + 1 < left.length && left(li + 1) <= r) li += 1
+        count += 1; li += 1; ri += 1
+      } else if (l < r) li += 1
+      else ri += 1
+    }
+    count
+  }
+
+  /** `intersection_count_with_carrying_slop` with update_left = true:
+    * returns the merged (positions, carried slops). Ported verbatim,
+    * including its documented approximation (phrase_scorer.rs:226-229).
+    */
+  private def carryingSlopFold(left: Array[Int], slops: Array[Int],
+      right: Array[Int], maxSlop: Int): (Array[Int], Array[Int]) = {
+    val outP = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val outS = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def add(s: Int, p: Int): Unit = {
+      if (outP.nonEmpty && outP.last == p) {
+        if (s < outS.last) outS(outS.length - 1) = s
+      } else { outP += p; outS += s }
+    }
+    if (left.isEmpty || right.isEmpty) return (Array.empty, Array.empty)
+    var li = 0; var ri = 0
+    var done = false
+    while (!done) {
+      val l = left(li)
+      val sSoFar = if (li < slops.length) slops(li) else 0
+      val r = right(ri)
+      val dist = sSoFar + math.abs(l - r)
+      if (dist <= maxSlop) {
+        val leftSmaller = l < r
+        val smaller = if (leftSmaller) l else r
+        val larger = if (leftSmaller) r else l
+        val smallerArr = if (leftSmaller) left else right
+        var si = if (leftSmaller) li else ri
+        var newSlop = dist
+        add(newSlop, smaller)
+        while (si + 1 < smallerArr.length && smallerArr(si + 1) <= larger) {
+          si += 1
+          newSlop = sSoFar + math.abs(smallerArr(si) - larger)
+          add(newSlop, smallerArr(si))
+        }
+        add(newSlop, larger)
+        li += 1; ri += 1
+      } else if (l < r) li += 1
+      else ri += 1
+      if (li >= left.length || ri >= right.length) {
+        // finish rest (phrase_scorer.rs:313-337): fold the remaining side
+        // against the exhausted side's LAST value
+        if (li >= left.length) {
+          val lv = left(left.length - 1)
+          val s = if (slops.nonEmpty) slops(slops.length - 1) else 0
+          var k = ri
+          while (k < right.length) {
+            val ns = math.abs(lv - right(k)) + s
+            if (ns <= maxSlop) add(ns, right(k))
+            k += 1
+          }
+        } else {
+          val rv = right(right.length - 1)
+          var k = li
+          while (k < left.length) {
+            val s = if (k < slops.length) slops(k) else 0
+            val ns = math.abs(left(k) - rv) + s
+            if (ns <= maxSlop) add(ns, left(k))
+            k += 1
+          }
+        }
+        done = true
+      }
+    }
+    (outP.toArray, outS.toArray)
+  }
+
+  /** The same fold with update_left = false: only the match count. */
+  private def carryingSlopCount(left: Array[Int], slops: Array[Int],
+      right: Array[Int], maxSlop: Int): Int = {
+    if (left.isEmpty || right.isEmpty) return 0
+    var li = 0; var ri = 0; var count = 0
+    var done = false
+    while (!done) {
+      val l = left(li)
+      val sSoFar = if (li < slops.length) slops(li) else 0
+      val r = right(ri)
+      if (sSoFar + math.abs(l - r) <= maxSlop) {
+        val leftSmaller = l < r
+        val smallerArr = if (leftSmaller) left else right
+        val larger = if (leftSmaller) r else l
+        var si = if (leftSmaller) li else ri
+        while (si + 1 < smallerArr.length && smallerArr(si + 1) <= larger) si += 1
+        count += 1; li += 1; ri += 1
+      } else if (l < r) li += 1
+      else ri += 1
+      if (li >= left.length || ri >= right.length) done = true
     }
     count
   }

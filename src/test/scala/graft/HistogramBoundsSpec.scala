@@ -77,6 +77,29 @@ class HistogramBoundsSpec extends AnyFunSuite {
       35.0 -> 0L, 45.0 -> 0L, 55.0 -> 1L))
   }
 
+  test("parseFixedInterval: the reference's unit table (date_histogram.rs:180-213)") {
+    assert(Aggregations.parseFixedInterval("30d") == 30L * 86400000)
+    assert(Aggregations.parseFixedInterval("12h") == 43200000L)
+    assert(Aggregations.parseFixedInterval("90s") == 90000L)
+    assert(Aggregations.parseFixedInterval("250ms") == 250L)
+    assert(Aggregations.parseFixedInterval("5minutes") == 300000L)
+    intercept[IllegalArgumentException](Aggregations.parseFixedInterval("d"))
+    intercept[IllegalArgumentException](Aggregations.parseFixedInterval("30"))
+    // calendar units are rejected (fixed_interval only, date_histogram.rs:40-54)
+    intercept[IllegalArgumentException](Aggregations.parseFixedInterval("1M"))
+    intercept[IllegalArgumentException](Aggregations.parseFixedInterval("1y"))
+  }
+
+  test("dateHistogram: fixed-interval buckets over epoch ms, gap-free") {
+    val t = Seq("2024-01-01 00:10:00", "2024-01-01 13:00:00", "2024-01-02 14:00:00")
+      .toDF("s").selectExpr("CAST(s AS TIMESTAMP) AS ts")
+    val out = Aggregations.dateHistogram(t, "ts", "12h")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val base = 1704067200000.0 // 2024-01-01T00:00:00Z
+    assert(out == Seq(base -> 1L, (base + 43200000) -> 1L,
+      (base + 2 * 43200000) -> 0L, (base + 3 * 43200000) -> 1L))
+  }
+
   test("terms missing buckets nulls under the replacement key") {
     // term_missing_agg.rs: missing checks value existence, null docs get
     // the replacement key
