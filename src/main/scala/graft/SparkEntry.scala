@@ -557,6 +557,13 @@ object SparkEntry {
       val df = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshTopK(df, "vec_id", "embedding", queryVec(s, dir), 20)
     },
+    // IVF coarse-quantizer path (deterministic spherical k-means, probe the
+    // nProbe nearest centroid lists): approximate => rows-only check
+    "ann_ivf_topk" -> { (s, dir) =>
+      val df = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 16, 2)
+      Similarity.ivfTopK(df, "vec_id", "embedding", cents, queryVec(s, dir), 20, 4)
+    },
 
     // ---- text analysis ----
     "text_langid" -> ((s, dir) =>

@@ -125,4 +125,97 @@ object Similarity {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
+
+  // ---------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path (Jégou,
+    * Douze, Schmid: "Product Quantization for Nearest Neighbor Search",
+    * IEEE TPAMI 2011, §IV): K spherical-k-means centroids; every vector is
+    * assigned to its most-cosine-similar centroid's list; a query ranks the
+    * centroids, probes the `nProbe` nearest lists, and re-ranks only those
+    * by exact cosine. Candidates scanned ~ nProbe/K of the corpus, and the
+    * assigned table written `partitionBy("cid")` makes each probe a
+    * partition-pruned directory scan, like the LSH layout above.
+    *
+    * Training is DETERMINISTIC: seeds = the K lowest vec_ids' unit vectors,
+    * then `iters` Lloyd rounds (assign by max dot, re-center by per-
+    * dimension mean, re-normalize). No RNG state — two builds agree on
+    * every assignment. Each round is one argmax projection plus one
+    * (cid, dim)-grouped aggregate; centroids (K x dim doubles) stay
+    * broadcast-sized at any corpus scale.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): Array[(Int, Array[Double])] = {
+    val base = unitVecs(df, idCol, vecCol).cache()
+    // deterministic seeds: the K lowest ids (no RNG; reference-free)
+    var centroids: Array[(Int, Array[Double])] =
+      base.orderBy(asc("vec_id")).limit(k).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    var it = 0
+    while (it < iters) {
+      val assigned = base.withColumn("cid", assignExpr(col("v"), centroids))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cid", "d").agg(avg("x").as("m"))
+        .collect()
+      val byCid = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val m = new Array[Double](old.length)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            val n = math.sqrt(m.map(x => x * x).sum)
+            (cid, if (n > 0) m.map(_ / n) else old) // empty-safe re-center
+          case None => (cid, old) // empty list keeps its centroid
+        }
+      }
+      it += 1
+    }
+    base.unpersist()
+    centroids
+  }
+
+  /** argmax_cid dot(v, centroid_cid) as a codegen'd expression: greatest
+    * over (rounded dot, cid) structs — lexicographic struct order makes the
+    * tie-break (higher cid) explicit and deterministic.
+    */
+  private def assignExpr(v: Column, centroids: Array[(Int, Array[Double])]): Column =
+    greatest(centroids.map { case (cid, c) =>
+      struct(round(dot(v, array(c.map(lit): _*)), 9).as("d"), lit(cid).as("cid"))
+    }: _*)("cid")
+
+  private def unitVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .where(col("n") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("v"))
+
+  /** Assignment table (vec_id, cid, v) — at scale, write it
+    * `partitionBy("cid")` so probes prune directories.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[(Int, Array[Double])]): DataFrame =
+    unitVecs(df, idCol, vecCol).withColumn("cid", assignExpr(col("v"), centroids))
+
+  /** IVF ANN top-k: probe the nProbe most-similar centroid lists, exact
+    * cosine re-rank within them. On unit vectors cosine == dot.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              centroids: Array[(Int, Array[Double])],
+              query: Array[Double], k: Int, nProbe: Int): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qhat = query.map(_ / qn)
+    val probes = centroids
+      .map { case (cid, c) => (cid, c.zip(qhat).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (cid, d) => (-d, cid) }
+      .take(nProbe).map(_._1).toSeq
+    val q = array(qhat.map(lit): _*)
+    ivfAssign(df, idCol, vecCol, centroids)
+      .where(col("cid").isin(probes: _*))
+      .withColumn("cosine", round(dot(col("v"), q), 6))
+      .select("vec_id", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
 }
