@@ -628,7 +628,13 @@ object SparkEntry {
     "stream_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeBatch(
           s.read.parquet(s"$dir/events.parquet"))
-        .orderBy("user_id", "session_start_ms"))
+        .orderBy("user_id", "session_start_ms")),
+    // streaming exact dedup: dropDuplicates state across the stream, key
+    // projection only => deterministic, oracle = batch DISTINCT
+    "stream_dedup" -> ((s, dir) =>
+      graft.streaming.EventStream.runDedupOverParquet(
+          s, s"$dir/events.parquet", Seq("user_id", "event_type"))
+        .orderBy("user_id", "event_type"))
   )
 
   /** Embedding of vec_id 0 as the ANN query vector (exact float->double). */
@@ -1162,7 +1168,9 @@ object SparkEntry {
         |SELECT user_id, min(ms) AS session_start_ms,
         |  max(ms) AS session_end_ms, count(*) AS n_events
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_ms""".stripMargin
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2"
   )
 
   /** Shared CTE text: per-component embedding view + norms. */

@@ -129,6 +129,44 @@ object EventStream {
     }
   }
 
+  /** Streaming exact deduplication — the pipeline's `dedup_exact` as a
+    * stream: `dropDuplicates` over the key columns keeps the first arrival
+    * per key, with per-key state hash-partitioned across executors. Only
+    * the KEY columns are projected, so the output is deterministic (which
+    * duplicate row survives arrival order is not). For unbounded feeds use
+    * [[dedupWithinWatermark]], which bounds the state instead of keeping
+    * every key forever.
+    */
+  def runDedupOverParquet(spark: SparkSession, parquetPath: String,
+                          keys: Seq[String]): DataFrame = {
+    val queryName = s"graft_stream_dedup_${nameCounter.incrementAndGet()}"
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema).parquet(streamableDir(parquetPath))
+    val q = stream
+      .select(keys.map(col): _*)
+      .dropDuplicates(keys)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Watermark-bounded streaming dedup (`dropDuplicatesWithinWatermark`):
+    * a key's state is evicted once the watermark passes its event time, so
+    * state size tracks the duplication window, not the stream length — the
+    * 100 TB-feed shape, where duplicates cluster in time. Two rows with the
+    * same key count as duplicates only while the earlier one's state is
+    * still live.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Drive a bounded file-source stream to completion and return the
     * windowed aggregate as a static frame (memory sink, complete mode —
     * every window emits regardless of the final watermark, so the result

@@ -67,4 +67,45 @@ class EventStreamSpec extends AnyFunSuite {
     // most sessions are closed well before the end of the corpus
     assert(streamed.size >= batch.size - lastOfUser.size)
   }
+
+  test("streaming dedup (dropDuplicates) == batch DISTINCT on the key") {
+    import spark.implicits._
+    val streamed = EventStream.runDedupOverParquet(
+        spark, s"$sf/events.parquet", Seq("user_id", "event_type"))
+      .as[(Long, String)].collect().toSet
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("dedupWithinWatermark evicts state: a key repeated past the watermark re-emits") {
+    import spark.implicits._
+    // static-frame semantics check of the plan's dedup column set (the
+    // watermark-eviction behavior itself is runtime): duplicates inside one
+    // batch collapse to the first arrival
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "click", 1.0),
+      (2L, "2024-01-01 00:00:30", 7L, "click", 2.0), // dup within watermark
+      (3L, "2024-01-01 02:00:00", 8L, "view", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-wm").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(dir)
+    val queryName = "graft_dedup_wm_test"
+    val schema = spark.read.parquet(dir).schema
+    val q = EventStream.dedupWithinWatermark(
+        spark.readStream.schema(schema).parquet(dir),
+        Seq("user_id", "event_type"), "10 minutes")
+      .select("user_id", "event_type", "event_id")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(queryName)
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    assert(out == Set((7L, "click"), (8L, "view")))
+  }
 }
