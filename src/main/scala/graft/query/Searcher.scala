@@ -209,8 +209,11 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     case RegexQ(pattern) =>
       // regex over the term dictionary (`regex_query.rs:57`), evaluated
       // DISTRIBUTED over termdict, then semi-joined into the postings scan —
-      // the term dict never passes through the driver.
-      docsForTermsDf(allTermsFor(fld).where(regexp_like($"term", lit(pattern))), fld)
+      // the term dict never passes through the driver. tantivy_fst::Regex
+      // matches the WHOLE term (implicitly anchored), so the pattern is
+      // wrapped ^(?:...)$ — "apa" must not match the term "japan".
+      docsForTermsDf(allTermsFor(fld)
+        .where(regexp_like($"term", lit(Searcher.anchored(pattern)))), fld)
     case FuzzyQ(term, d, transpose, prefix) =>
       // banded-DP Levenshtein over the distinct term dictionary — the
       // FST+DFA intersection of the reference (`fuzzy_query.rs:80-131`)
@@ -306,7 +309,8 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       require(indexMeta.forall(_.withPositions),
         s"regex-phrase query needs positions, but the index at $indexDir was built with withPositions=false")
       val slotTerms: Seq[Seq[String]] = rp.terms.map { case (_, pat) =>
-        allTermsFor(fld).where(regexp_like($"term", lit(pat)))
+        // whole-term match, like RegexQ (tantivy_fst anchors implicitly)
+        allTermsFor(fld).where(regexp_like($"term", lit(Searcher.anchored(pat))))
           .orderBy($"term").limit(rp.maxExpansions).as[String].collect().toSeq
       }
       slotPhraseDocs(slotTerms, rp.terms.map(_._1).toArray, rp.slop, fld)
@@ -620,6 +624,15 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     docmap.join(broadcast(addrs), Seq("segId", "docId"))
       .orderBy(desc("score"), asc("segId"), asc("docId"))
   }
+}
+
+object Searcher {
+  /** tantivy_fst::Regex whole-term semantics: the pattern must match the
+    * ENTIRE term (`regex_query.rs:12-21` — built on an fst automaton, which
+    * is implicitly anchored). Java regex needs explicit anchors; the
+    * non-capturing group keeps alternations ("a|b" -> "^(?:a|b)$") intact.
+    */
+  def anchored(pattern: String): String = s"^(?:$pattern)$$"
 }
 
 /** Positional phrase matching, replicating the reference's
