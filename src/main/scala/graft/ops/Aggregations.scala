@@ -210,6 +210,18 @@ object Aggregations {
     digits.toLong * unitMs
   }
 
+  /** `parse_offset_into_milliseconds` (`date_histogram.rs:190-208`): an
+    * optionally signed fixed interval — "-1h" shifts buckets back an hour.
+    */
+  def parseOffset(input: String): Long = {
+    require(input.nonEmpty, "invalid offset: empty")
+    input.charAt(0) match {
+      case '-' => -parseFixedInterval(input.substring(1))
+      case '+' => parseFixedInterval(input.substring(1))
+      case _   => parseFixedInterval(input)
+    }
+  }
+
   /** The reference's date_histogram (`bucket/histogram/date_histogram.rs`):
     * fixed_interval ONLY, compiled to a plain histogram over epoch
     * milliseconds (`date_histogram.rs:124`, interval in ms) — bucket keys

@@ -90,6 +90,17 @@ class HistogramBoundsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Aggregations.parseFixedInterval("1y"))
   }
 
+  test("parseOffset: signed intervals (date_histogram.rs:277-290)") {
+    assert(Aggregations.parseOffset("1m") == 60000L)
+    assert(Aggregations.parseOffset("+1m") == 60000L)
+    assert(Aggregations.parseOffset("-1m") == -60000L)
+    assert(Aggregations.parseOffset("2m") == 120000L)
+    assert(Aggregations.parseOffset("-2ms") == -2L)
+    intercept[IllegalArgumentException](Aggregations.parseOffset("2y"))
+    intercept[IllegalArgumentException](Aggregations.parseOffset("2000"))
+    intercept[IllegalArgumentException](Aggregations.parseOffset(""))
+  }
+
   test("dateHistogram: fixed-interval buckets over epoch ms, gap-free") {
     val t = Seq("2024-01-01 00:10:00", "2024-01-01 13:00:00", "2024-01-02 14:00:00")
       .toDF("s").selectExpr("CAST(s AS TIMESTAMP) AS ts")
