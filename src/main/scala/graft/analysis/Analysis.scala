@@ -280,9 +280,14 @@ object Analysis {
       if (v != null) {
         var maxEnd = end
         analyzeChain(chain, v).foreach { t =>
-          val p = end + t.position
-          out += ((t.text, p))
-          if (p + 1 > maxEnd) maxEnd = p + 1
+          // over-long tokens are dropped BEFORE position bookkeeping
+          // (postings_writer.rs:140-147 returns before updating
+          // end_position), so they advance neither maxEnd nor the gap
+          if (withinMaxTokenLen(t.text)) {
+            val p = end + t.position
+            out += ((t.text, p))
+            if (p + 1 > maxEnd) maxEnd = p + 1
+          }
         }
         end = maxEnd + 1
       }

@@ -43,6 +43,26 @@ object IndexBuilder {
   def PRUNE_BLOCK_BYTES: Long =
     java.lang.Long.getLong("graft.postings.rowgroup.bytes", 1L << 20)
 
+  /** Input-column dispatch for an extra field (one classifier shared by the
+    * analysis flatMap and the stats/token-count paths so they cannot
+    * drift): 0 = scalar value analyzed by the chain; 1 = pre-tokenized
+    * array<struct<text, position>>; 2 = multi-valued array<string>. Other
+    * array element types are a configuration error — multivalued numeric
+    * columns belong in IndexConfig.fastFields, not extraFields.
+    */
+  private[index] def arrayFieldMode(name: String,
+      dt: org.apache.spark.sql.types.DataType): Int = dt match {
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.elementType match {
+        case _: org.apache.spark.sql.types.StringType => 2
+        case _: org.apache.spark.sql.types.StructType => 1
+        case other => throw new IllegalArgumentException(
+          s"extra field $name: array<$other> is not indexable — " +
+          "use IndexConfig.fastFields for multivalued numeric columns")
+      }
+    case _ => 0
+  }
+
   /** Token-count column for an extra field over a docmap-shaped frame —
     * re-derives the field's fieldnorm source (the per-doc token count under
     * ITS analyzer chain); pre-tokenized array columns count verbatim. Shared
@@ -50,11 +70,7 @@ object IndexBuilder {
     */
   def fieldTokenCountCol(dm: DataFrame, f: FieldDef): org.apache.spark.sql.Column = {
     val tok = f.tokenizer
-    val mode = dm.schema(f.name).dataType match {
-      case at: org.apache.spark.sql.types.ArrayType =>
-        if (at.elementType.isInstanceOf[org.apache.spark.sql.types.StringType]) 2 else 1
-      case _ => 0
-    }
+    val mode = arrayFieldMode(f.name, dm.schema(f.name).dataType)
     // MAX_TOKEN_LEN parity: stats count only subscribed tokens (see
     // perFieldTerms), so over-long tokens are excluded here too
     if (mode == 1) coalesce(size(expr(
@@ -71,9 +87,9 @@ object IndexBuilder {
     else {
       val cntU = udf((v: String) =>
         if (v == null) 0L
-        else if (tok == "json")
-          JsonField.flatten(v, "default")
-            .count(t => Analysis.withinMaxTokenLen(t._1)).toLong
+        // json: flatten already dropped over-long TOKENS (the path-encoded
+        // term may legitimately exceed the cap, like the reference)
+        else if (tok == "json") JsonField.flatten(v, "default").length.toLong
         else Analysis.analyzeChain(tok, v)
           .count(t => Analysis.withinMaxTokenLen(t.text)).toLong)
       cntU(col(f.name).cast("string"))
@@ -95,15 +111,19 @@ object IndexBuilder {
     * basic = docs only (tf recorded as 1), freq = tf, position = tf + pos.
     */
   def perFieldTerms(segId: Int, docId: Int, field: String,
-                    rawTerms: Seq[(String, Int)], record: String): Iterator[DocTermRow] = {
+                    rawTerms: Seq[(String, Int)], record: String,
+                    capTokens: Boolean = true): Iterator[DocTermRow] = {
     // MAX_TOKEN_LEN drop (`postings_writer.rs:139-147`, limit
     // `tokenizer/mod.rs:166`): over-long tokens are skipped at subscribe
     // time whatever the chain, keeping other tokens' positions, and are
     // excluded from the fieldnorm token count (num_tokens += happens after
     // the skip). The default chain's RemoveLong(40) makes this a no-op
     // there; it binds for raw/whitespace chains and pre-tokenized input.
+    // capTokens = false for inputs whose TOKEN text was already checked
+    // upstream of an encoding that lengthens the term (json path terms —
+    // the reference checks token.text, not the path-prefixed term bytes).
     val terms =
-      if (rawTerms.forall(t => Analysis.withinMaxTokenLen(t._1))) rawTerms
+      if (!capTokens || rawTerms.forall(t => Analysis.withinMaxTokenLen(t._1))) rawTerms
       else rawTerms.filter(t => Analysis.withinMaxTokenLen(t._1))
     if (terms.isEmpty) Iterator.empty
     else {
@@ -346,19 +366,8 @@ object IndexBuilder {
             //    several times per doc): each value analyzed by the chain,
             //    positions continuing across values with POSITION_GAP = 1
             //    (`postings_writer.rs:17,157`).
-            val fieldMode: Array[Int] = extras.map { f =>
-              docmapW.schema(f.name).dataType match {
-                case at: org.apache.spark.sql.types.ArrayType =>
-                  at.elementType match {
-                    case _: org.apache.spark.sql.types.StringType => 2
-                    case _: org.apache.spark.sql.types.StructType => 1
-                    case other => throw new IllegalArgumentException(
-                      s"extra field ${f.name}: array<$other> is not indexable — " +
-                      "use IndexConfig.fastFields for multivalued numeric columns")
-                  }
-                case _ => 0
-              }
-            }.toArray
+            val fieldMode: Array[Int] = extras.map(f =>
+              arrayFieldMode(f.name, docmapW.schema(f.name).dataType)).toArray
             val cols = Seq($"segId", $"docId", $"content") ++
               extras.zipWithIndex.map { case (f, i) =>
                 if (fieldMode(i) != 0) col(f.name) else col(f.name).cast("string") }
@@ -382,11 +391,14 @@ object IndexBuilder {
                     if (v == null) Iterator.empty
                     else {
                       // "json" chain: schema-less flatten into typed
-                      // path-encoded terms (JsonField, doc/src/json.md)
-                      val terms =
-                        if (f.tokenizer == "json") JsonField.flatten(v, "default")
-                        else Analysis.analyzeChain(f.tokenizer, v).map(t => (t.text, t.position))
-                      perFieldTerms(s, d, f.name, terms, f.record)
+                      // path-encoded terms (JsonField, doc/src/json.md);
+                      // token-length cap already applied inside flatten
+                      if (f.tokenizer == "json")
+                        perFieldTerms(s, d, f.name, JsonField.flatten(v, "default"),
+                          f.record, capTokens = false)
+                      else perFieldTerms(s, d, f.name,
+                        Analysis.analyzeChain(f.tokenizer, v).map(t => (t.text, t.position)),
+                        f.record)
                     }
                   }
                 }

@@ -67,8 +67,12 @@ object JsonField {
           dateMillis(s) match {
             case Some(ms) => out += ((enc + TDate + ms.toString, 0))
             case None =>
-              Analysis.analyzeChain(textChain, s).foreach(t =>
-                out += ((enc + TText + t.text, t.position)))
+              // MAX_TOKEN_LEN applies to the TOKEN text, not the
+              // path-encoded term (postings_writer.rs checks
+              // token.text.len() before the path prefix is prepended)
+              Analysis.analyzeChain(textChain, s)
+                .filter(t => Analysis.withinMaxTokenLen(t.text))
+                .foreach(t => out += ((enc + TText + t.text, t.position)))
           }
         }
       }

@@ -155,8 +155,11 @@ object Aggregations {
         "extended_bounds have to be inside hard_bounds")
     def ordOf(x: Double): Long = math.floor((x - offset) / interval).toLong
     val v = col(field).cast("double")
+    // only existing values are collected (the reference iterates fast-field
+    // values; docs without one contribute no bucket)
+    val nonNull = df.where(v.isNotNull)
     val collected = hardBounds
-      .map { case (lo, hi) => df.where(v >= lo && v <= hi) }.getOrElse(df)
+      .map { case (lo, hi) => nonNull.where(v >= lo && v <= hi) }.getOrElse(nonNull)
     // internal doc count drives minDocCount and the empty-bucket fill even
     // when the caller's metric list has no count
     val aggs = count(lit(1)).as("__cnt") +: metrics.map(m => m.expr.as(m.name))
@@ -180,7 +183,11 @@ object Aggregations {
         hi = greatest(coalesce(hi, lit(ordOf(h))), lit(ordOf(h)))
       }
       for ((l, h) <- hardBounds) {
-        lo = greatest(lo, lit(ordOf(l))); hi = least(hi, lit(ordOf(h)))
+        // greatest/least SKIP nulls in Spark; an empty collection without
+        // extended_bounds must stay null (reference: f64::MAX/f64::MIN
+        // sentinels make min > max => no buckets, histogram.rs:554-572)
+        lo = when(lo.isNull, lo).otherwise(greatest(lo, lit(ordOf(l))))
+        hi = when(hi.isNull, hi).otherwise(least(hi, lit(ordOf(h))))
       }
       val axis = grouped.agg(lo.as("lo"), hi.as("hi"))
         .where(col("lo").isNotNull && col("lo") <= col("hi"))
@@ -256,8 +263,12 @@ object Aggregations {
       metrics: Seq[MetricAgg] = Nil): DataFrame = {
     val key = missing
       .map(m => coalesce(col(field).cast("string"), lit(m))).getOrElse(col(field))
+    // without `missing`, docs with no value produce NO bucket (the
+    // reference's term agg iterates existing values only; only
+    // term_missing_agg buckets the null docs)
+    val base = if (missing.isDefined) df else df.where(col(field).isNotNull)
     val aggs = count(lit(1)).as("cnt") +: metrics.map(m => m.expr.as(m.name))
-    var out = df.groupBy(key.as(name)).agg(aggs.head, aggs.tail: _*)
+    var out = base.groupBy(key.as(name)).agg(aggs.head, aggs.tail: _*)
     if (minDocCount > 1) out = out.where(col("cnt") >= minDocCount)
     out = if (orderByCountDesc) out.orderBy(desc("cnt"), asc(name))
           else out.orderBy(asc(name))

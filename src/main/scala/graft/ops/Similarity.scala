@@ -181,7 +181,8 @@ object Similarity {
     * tie-break (higher cid) explicit and deterministic.
     */
   private def assignExpr(v: Column, centroids: Array[(Int, Array[Double])]): Column =
-    greatest(centroids.map { case (cid, c) =>
+    if (centroids.length == 1) lit(centroids(0)._1) // greatest() needs >= 2 args
+    else greatest(centroids.map { case (cid, c) =>
       struct(round(dot(v, array(c.map(lit): _*)), 9).as("d"), lit(cid).as("cid"))
     }: _*)("cid")
 
@@ -198,6 +199,20 @@ object Similarity {
                 centroids: Array[(Int, Array[Double])]): DataFrame =
     unitVecs(df, idCol, vecCol).withColumn("cid", assignExpr(col("v"), centroids))
 
+  /** The nProbe most-query-similar centroid ids (ranked by dot with the
+    * unit query, ties by ascending cid) — shared by ivfTopK and the
+    * recall/coverage measurement so both always probe the same lists.
+    */
+  def ivfProbes(centroids: Array[(Int, Array[Double])],
+                query: Array[Double], nProbe: Int): Seq[Int] = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qhat = query.map(_ / qn)
+    centroids
+      .map { case (cid, c) => (cid, c.zip(qhat).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (cid, d) => (-d, cid) }
+      .take(nProbe).map(_._1).toSeq
+  }
+
   /** IVF ANN top-k: probe the nProbe most-similar centroid lists, exact
     * cosine re-rank within them. On unit vectors cosine == dot.
     */
@@ -206,10 +221,7 @@ object Similarity {
               query: Array[Double], k: Int, nProbe: Int): DataFrame = {
     val qn = math.sqrt(query.map(x => x * x).sum)
     val qhat = query.map(_ / qn)
-    val probes = centroids
-      .map { case (cid, c) => (cid, c.zip(qhat).map { case (a, b) => a * b }.sum) }
-      .sortBy { case (cid, d) => (-d, cid) }
-      .take(nProbe).map(_._1).toSeq
+    val probes = ivfProbes(centroids, query, nProbe)
     val q = array(qhat.map(lit): _*)
     ivfAssign(df, idCol, vecCol, centroids)
       .where(col("cid").isin(probes: _*))

@@ -629,10 +629,12 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
 object Searcher {
   /** tantivy_fst::Regex whole-term semantics: the pattern must match the
     * ENTIRE term (`regex_query.rs:12-21` — built on an fst automaton, which
-    * is implicitly anchored). Java regex needs explicit anchors; the
-    * non-capturing group keeps alternations ("a|b" -> "^(?:a|b)$") intact.
+    * is implicitly anchored). Java regex needs explicit anchors — \A/\z,
+    * not ^/$, because `$` also matches before a trailing line terminator
+    * (a raw-tokenizer term "abc\n" must NOT match pattern "abc"); the
+    * non-capturing group keeps alternations intact.
     */
-  def anchored(pattern: String): String = s"^(?:$pattern)$$"
+  def anchored(pattern: String): String = s"\\A(?:$pattern)\\z"
 }
 
 /** Positional phrase matching, replicating the reference's
@@ -796,11 +798,8 @@ object PhraseMatcher {
       val sSoFar = if (li < slops.length) slops(li) else 0
       val r = right(ri)
       if (sSoFar + math.abs(l - r) <= maxSlop) {
-        val leftSmaller = l < r
-        val smallerArr = if (leftSmaller) left else right
-        val larger = if (leftSmaller) r else l
-        var si = if (leftSmaller) li else ri
-        while (si + 1 < smallerArr.length && smallerArr(si + 1) <= larger) si += 1
+        // (the reference's better-match scan advances only a local copy
+        // feeding add_val, which the count-only variant has none of)
         count += 1; li += 1; ri += 1
       } else if (l < r) li += 1
       else ri += 1

@@ -27,12 +27,8 @@ object IvfRecallProbe {
         val assign = Similarity.ivfAssign(df, "vec_id", "embedding", cents)
         val probedFrac = {
           val counts = assign.groupBy("cid").count().as[(Int, Long)].collect().toMap
-          val qn = math.sqrt(q.map(x => x * x).sum)
-          val qhat = q.map(_ / qn)
-          val probes = cents
-            .map { case (cid, c) => (cid, c.zip(qhat).map { case (a, b) => a * b }.sum) }
-            .sortBy { case (cid, d) => (-d, cid) }.take(nProbe).map(_._1)
-          probes.map(c => counts.getOrElse(c, 0L)).sum.toDouble / n
+          Similarity.ivfProbes(cents, q, nProbe)
+            .map(c => counts.getOrElse(c, 0L)).sum.toDouble / n
         }
         val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", cents, q, 20, nProbe)
           .select("vec_id").as[Long].collect().toSet

@@ -111,6 +111,33 @@ class HistogramBoundsSpec extends AnyFunSuite {
       (base + 2 * 43200000) -> 0L, (base + 3 * 43200000) -> 1L))
   }
 
+  test("empty collection with hard_bounds yields NO buckets (f64 sentinels make min > max)") {
+    // all values outside the bounds: the reference's get_req_min_max
+    // leaves min = f64::MAX > max = f64::MIN -> empty bucket vec
+    assert(Aggregations.histogram(df, "v", 10.0,
+      hardBounds = Some((200.0, 300.0))).count() == 0L)
+    // but extended_bounds DO span an axis even with no data collected
+    val forced = buckets(Aggregations.histogram(df, "v", 10.0,
+      extendedBounds = Some((200.0, 219.0)), hardBounds = Some((200.0, 300.0))))
+    assert(forced == Seq(200.0 -> 0L, 210.0 -> 0L))
+  }
+
+  test("null values produce no bucket (reference iterates existing values only)") {
+    val withNulls = Seq(Some(1.0), None, None, Some(21.0)).toDF("v")
+    assert(buckets(Aggregations.histogram(withNulls, "v", 10.0)) ==
+      Seq(0.0 -> 1L, 10.0 -> 0L, 20.0 -> 1L))
+    // minDocCount > 0 path must not emit a NULL-key bucket either
+    assert(buckets(Aggregations.histogram(withNulls, "v", 10.0, minDocCount = 1)) ==
+      Seq(0.0 -> 1L, 20.0 -> 1L))
+  }
+
+  test("terms without `missing` skips docs with no value") {
+    val t = Seq(Some("a"), None, None, Some("b")).toDF("k")
+    val out = Aggregations.terms(t, "k", name = "k", orderByCountDesc = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq("a" -> 1L, "b" -> 1L))
+  }
+
   test("terms missing buckets nulls under the replacement key") {
     // term_missing_agg.rs: missing checks value existence, null docs get
     // the replacement key
