@@ -518,6 +518,18 @@ object SparkEntry {
     "agg_terms_opts" -> ((s, dir) =>
       Aggregations.terms(s.read.parquet(s"$dir/events.parquet"),
         "event_type", name = "event_type", size = 3, orderByCountDesc = false)),
+    // metric `missing` (metric/average.rs:24-29): null-bearing column
+    // derived via nullif; missing values counted as 0.0 in the average
+    "agg_avg_missing" -> { (s, dir) =>
+      import Aggregations._
+      run(s.read.parquet(s"$dir/events.parquet")
+            .withColumn("v_null", expr("CASE WHEN value < 10e0 THEN NULL ELSE value END")),
+        AggRequest(
+          buckets = Seq(TermsAgg("event_type", "event_type")),
+          metrics = Seq(MetricAgg.count,
+            MetricAgg.avg("v_null", "avg_missing_zero", missing = Some(0.0)),
+            MetricAgg.avg("v_null", "avg_skip_null"))))
+    },
 
     // ---- deduplication ----
     "dedup_exact" -> ((s, dir) =>
@@ -985,6 +997,13 @@ object SparkEntry {
     "agg_terms_opts" ->
       """SELECT event_type, count(*) AS cnt FROM events
         |GROUP BY 1 ORDER BY 1 LIMIT 3""".stripMargin,
+    "agg_avg_missing" ->
+      """WITH e AS (SELECT event_type,
+        |CASE WHEN value < 10e0 THEN NULL ELSE value END AS v_null FROM events)
+        |SELECT event_type, count(*) AS cnt,
+        |round(avg(coalesce(v_null, 0e0)), 6) AS avg_missing_zero,
+        |round(avg(v_null), 6) AS avg_skip_null
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS cnt FROM documents

@@ -73,17 +73,24 @@ object Aggregations {
   final case class MetricAgg(name: String, expr: Column, isCount: Boolean = false)
 
   object MetricAgg {
+    /** ES metric `missing` parameter (`metric/average.rs:24-29`, same field
+      * on stats/min/max/sum/...): docs without a value are treated as
+      * having the given constant; without it they are simply skipped
+      * (SQL aggregate NULL semantics already match that).
+      */
+    private def src(field: String, missing: Option[Double]): Column =
+      missing.map(m => coalesce(col(field), lit(m))).getOrElse(col(field))
     def count: MetricAgg =
       MetricAgg("cnt", org.apache.spark.sql.functions.count(lit(1)), isCount = true)
-    def sum(field: String, as: String = "sum"): MetricAgg =
-      MetricAgg(as, org.apache.spark.sql.functions.sum(col(field)))
-    def min(field: String, as: String = "min"): MetricAgg =
-      MetricAgg(as, org.apache.spark.sql.functions.min(col(field)))
-    def max(field: String, as: String = "max"): MetricAgg =
-      MetricAgg(as, org.apache.spark.sql.functions.max(col(field)))
+    def sum(field: String, as: String = "sum", missing: Option[Double] = None): MetricAgg =
+      MetricAgg(as, org.apache.spark.sql.functions.sum(src(field, missing)))
+    def min(field: String, as: String = "min", missing: Option[Double] = None): MetricAgg =
+      MetricAgg(as, org.apache.spark.sql.functions.min(src(field, missing)))
+    def max(field: String, as: String = "max", missing: Option[Double] = None): MetricAgg =
+      MetricAgg(as, org.apache.spark.sql.functions.max(src(field, missing)))
     /** round-6 avg — oracle-comparable across engines. */
-    def avg(field: String, as: String = "avg"): MetricAgg =
-      MetricAgg(as, round(org.apache.spark.sql.functions.avg(col(field)), 6))
+    def avg(field: String, as: String = "avg", missing: Option[Double] = None): MetricAgg =
+      MetricAgg(as, round(org.apache.spark.sql.functions.avg(src(field, missing)), 6))
     def cardinality(field: String, as: String = "uniq"): MetricAgg =
       MetricAgg(as, countDistinct(col(field)))
   }
