@@ -322,6 +322,8 @@ object Analysis {
     case "ro_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersEastern.stemRomanian(t.text)))
     case "tr_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersEastern.stemTurkish(t.text)))
     case "el_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersEastern.stemGreek(t.text)))
+    case "ar_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersArabic.stemArabic(t.text)))
+    case "ta_stem" => defaultAnalyze(text).map(t => t.copy(text = StemmersTamil.stemTamil(t.text)))
     case "ascii"      => simpleTokenize(text).map(t => t.copy(text = asciiFold(t.text)))
     case "ip"         => rawTokenize(text).flatMap(t =>
       canonicalIpv6(t.text).map(c => t.copy(text = c)))
