@@ -492,6 +492,28 @@ object SparkEntry {
     "agg_date_histogram_fixed" -> ((s, dir) =>
       Aggregations.dateHistogram(s.read.parquet(s"$dir/events.parquet"),
         "ts", fixedInterval = "12h")),
+    // ES calendar_interval month rollup — beyond the reference (tantivy
+    // rejects calendar_interval), the ES-compatible extension a training
+    // pipeline needs; one date_trunc expression + one shuffle
+    "agg_date_histogram_month" -> ((s, dir) =>
+      Aggregations.calendarDateHistogram(
+        s.read.parquet(s"$dir/events.parquet"), "ts", "month", name = "month")
+        .select(date_format(col("month"), "yyyy-MM-dd").as("month"),
+          col("cnt"))),
+    // ES terms agg ordered by a metric sub-agg (`term_agg.rs` order:
+    // {"avg_value": "desc"}): buckets sorted by the sub-agg value, key
+    // ascending tie-break, size cut after the sort
+    "agg_terms_order_by_metric" -> ((s, dir) =>
+      Aggregations.terms(s.read.parquet(s"$dir/events.parquet"),
+        "event_type", name = "event_type", size = 3,
+        metrics = Seq(Aggregations.MetricAgg.avg("value", "avg_value")),
+        orderByMetric = Some(("avg_value", true)))),
+    // ES terms response bookkeeping: sum_other_doc_count for the docs
+    // outside the top-size cut; error bound 0 (exact single-pass cut)
+    "agg_terms_sum_other" -> ((s, dir) =>
+      Aggregations.termsWithErrorBounds(
+        s.read.parquet(s"$dir/events.parquet"), "event_type",
+        name = "event_type", size = 3)),
     // gap-free histogram (min_doc_count=0 default): empty buckets emitted
     // across the extended_bounds-widened axis (histogram.rs:554-587)
     "agg_histogram_empty_buckets" -> ((s, dir) =>
@@ -967,6 +989,23 @@ object SparkEntry {
         |SELECT CAST(ord AS DOUBLE) * 43200000e0 AS key,
         |coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
         |FROM r LEFT JOIN o USING (ord) ORDER BY key""".stripMargin,
+    "agg_date_histogram_month" ->
+      """SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+        |count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_terms_order_by_metric" ->
+      """SELECT event_type, count(*) AS cnt, round(avg(value), 6) AS avg_value
+        |FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+        |ORDER BY avg_value DESC, event_type LIMIT 3""".stripMargin,
+    "agg_terms_sum_other" ->
+      """WITH b AS (SELECT event_type, count(*) AS cnt FROM events
+        |WHERE event_type IS NOT NULL GROUP BY 1
+        |ORDER BY cnt DESC, event_type LIMIT 3),
+        |t AS (SELECT count(*) AS total FROM events
+        |WHERE event_type IS NOT NULL)
+        |SELECT b.event_type, b.cnt,
+        |t.total - (SELECT sum(cnt) FROM b) AS sum_other_doc_count,
+        |CAST(0 AS BIGINT) AS doc_count_error_upper_bound
+        |FROM b, t ORDER BY cnt DESC, event_type""".stripMargin,
     // floor(-100/20) = -5, floor(600/20) = 30: the extended_bounds bucket
     // positions, replayed as constants like the Scala side's ordOf
     "agg_histogram_empty_buckets" ->

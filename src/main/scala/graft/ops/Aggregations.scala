@@ -257,6 +257,23 @@ object Aggregations {
       extendedBoundsMs, hardBoundsMs, metrics, name)
   }
 
+  /** ES calendar_interval date_histogram (month/quarter/year/week...).
+    * BEYOND the reference: tantivy's date_histogram rejects
+    * calendar_interval (`date_histogram.rs:40-54`) — this is the
+    * ES-compatible extension a pipeline needs for month-level rollups,
+    * expressed as `date_trunc` so Catalyst keeps it one map-side expression
+    * + one shuffle.
+    */
+  def calendarDateHistogram(df: DataFrame, field: String, unit: String,
+      metrics: Seq[MetricAgg] = Seq(MetricAgg.count),
+      name: String = "key"): DataFrame = {
+    val aggs = metrics.map(m => m.expr.as(m.name))
+    df.where(col(field).isNotNull)
+      .groupBy(date_trunc(unit, col(field).cast("timestamp")).as(name))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(name)
+  }
+
   /** ES terms request surface (`bucket/term_agg.rs`: `size`, `order`,
     * `min_doc_count`; `bucket/term_missing_agg.rs`: `missing` buckets the
     * null-valued docs under a replacement key). One groupBy; the size cut is
@@ -267,7 +284,8 @@ object Aggregations {
   def terms(df: DataFrame, field: String, name: String = "key",
       size: Int = Int.MaxValue, orderByCountDesc: Boolean = true,
       minDocCount: Long = 1, missing: Option[String] = None,
-      metrics: Seq[MetricAgg] = Nil): DataFrame = {
+      metrics: Seq[MetricAgg] = Nil,
+      orderByMetric: Option[(String, Boolean)] = None): DataFrame = {
     val key = missing
       .map(m => coalesce(col(field).cast("string"), lit(m))).getOrElse(col(field))
     // without `missing`, docs with no value produce NO bucket (the
@@ -277,9 +295,44 @@ object Aggregations {
     val aggs = count(lit(1)).as("cnt") +: metrics.map(m => m.expr.as(m.name))
     var out = base.groupBy(key.as(name)).agg(aggs.head, aggs.tail: _*)
     if (minDocCount > 1) out = out.where(col("cnt") >= minDocCount)
-    out = if (orderByCountDesc) out.orderBy(desc("cnt"), asc(name))
-          else out.orderBy(asc(name))
+    // ES `order` may name a metric sub-aggregation (`term_agg.rs` order by
+    // sub-agg): sort buckets by that metric column, key ascending as the
+    // tie-break — still one shuffle + TakeOrdered when sized.
+    out = orderByMetric match {
+      case Some((m, descending)) =>
+        out.orderBy(if (descending) desc(m) else asc(m), asc(name))
+      case None =>
+        if (orderByCountDesc) out.orderBy(desc("cnt"), asc(name))
+        else out.orderBy(asc(name))
+    }
     if (size != Int.MaxValue) out.limit(size) else out
+  }
+
+  /** ES terms response bookkeeping (`bucket/term_agg.rs:85-92,125-126`):
+    * `sum_other_doc_count` = docs not covered by the returned top-`size`
+    * buckets, `doc_count_error_upper_bound` = 0 because this engine
+    * computes the cut over the full exact aggregate (one shuffle +
+    * TakeOrdered), never per-shard approximations — the same value the
+    * reference reports when its segment cutoffs drop nothing. Emitted as
+    * per-row constant columns (the flat twin of ES's agg-level fields).
+    */
+  def termsWithErrorBounds(df: DataFrame, field: String,
+      name: String = "key", size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(field).isNotNull)
+    val total = base.agg(count(lit(1)).as("__total"))
+    val buckets = base.groupBy(col(field).as(name))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc(name)).limit(size)
+    // the window spans only the <= size returned rows — driver-tiny
+    buckets.crossJoin(broadcast(total))
+      .withColumn("sum_other_doc_count",
+        col("__total") - sum("cnt").over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("doc_count_error_upper_bound", lit(0L))
+      .drop("__total")
+      .orderBy(desc("cnt"), asc(name))
   }
 
   /** A node of an arbitrary sub-aggregation TREE (`agg_req.rs:120-171`):
