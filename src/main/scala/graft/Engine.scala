@@ -61,7 +61,12 @@ object Engine {
           .as("tags"),
         // MULTI-VALUED numeric fast field (columnar multivalue column):
         // RangeQ/ExistsQ match when ANY element satisfies the bounds
-        expr("array(n_chars, n_chars * CAST(3 AS BIGINT))").as("sizes"))
+        expr("array(n_chars, n_chars * CAST(3 AS BIGINT))").as("sizes"),
+        // IpAddr field (`ip_options.rs`): textual v6 literals normalized to
+        // canonical-IPv6 terms at index time; derived deterministically so
+        // DuckDB replays the predicate as doc_id % 200
+        format_string("2001:db8::%x", pmod(col("doc_id"), lit(200)).cast("int"))
+          .as("ipaddr"))
 
   private val searchers = new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
 
@@ -83,7 +88,10 @@ object Engine {
       FieldDef("meta", "json", "position"),
       // multi-valued text field: array<string> input column, per-value
       // analysis with POSITION_GAP=1 position continuation
-      FieldDef("tags", "default", "position")),
+      FieldDef("tags", "default", "position"),
+      // IpAddr terms (canonical-IPv6 equality; ranges belong to the
+      // fast-field path since RFC 5952 text is not order-preserving)
+      FieldDef.IPADDR("ipaddr")),
     // multivalued numeric fast field: stored in docmap, never tokenized
     fastFields = Seq("sizes"))
 

@@ -165,6 +165,13 @@ object SparkEntry {
     "ft_u64_term_range" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
         QueryParser.parse("nchars:[100 TO 300}", opts = Engine.parseOpts))),
+    // IpAddr exact term (`ip_options.rs`): the quoted literal re-analyzes
+    // through the field's "ip" chain — `2001:0db8:0:0::002A` normalizes to
+    // the same canonical-IPv6 term the index stores (0x2a = 42)
+    "ft_ip_term" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("ipaddr:\"2001:0db8:0:0::002A\"",
+          opts = Engine.parseOpts))),
     // date range over RFC-3339 terms, mixed offsets normalize to UTC
     "ft_date_range" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
@@ -784,6 +791,8 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE n_chars = 246 ORDER BY doc_id",
     "ft_u64_term_range" ->
       "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 300 ORDER BY doc_id",
+    "ft_ip_term" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 200 = 42 ORDER BY doc_id",
     "ft_date_range" ->
       // mtime = 2020-01-01 + (doc_id % 60) days at midnight UTC; the query's
       // upper bound 2020-01-20T02:00:00+02:00 is 2020-01-20T00:00:00Z

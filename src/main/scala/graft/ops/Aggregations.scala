@@ -66,6 +66,25 @@ object Aggregations {
     }
   }
 
+  /** The reference's range-agg request-to-buckets expansion
+    * (`bucket/range.rs`, golden shape in `agg_tests.rs:274-299`): requested
+    * ranges are half-open [from, to), keys render as "from-to" with `*` for
+    * an open end (f64 values print integral when whole), and the response
+    * ALWAYS carries the implicit unbounded edge buckets `*-first` and
+    * `last-*`.
+    */
+  def esRanges(ranges: Seq[(Option[Double], Option[Double])])
+      : Seq[(String, Option[Double], Option[Double])] = {
+    def fmt(d: Double): String =
+      if (d == math.floor(d) && !d.isInfinite) d.toLong.toString else d.toString
+    def key(f: Option[Double], t: Option[Double]): String =
+      s"${f.map(fmt).getOrElse("*")}-${t.map(fmt).getOrElse("*")}"
+    val lo = ranges.flatMap(_._1).reduceOption((a, b) => math.min(a, b))
+    val hi = ranges.flatMap(_._2).reduceOption((a, b) => math.max(a, b))
+    val full = (Option.empty[Double], lo) +: ranges :+ (hi, Option.empty[Double])
+    full.map { case (f, t) => (key(f, t), f, t) }
+  }
+
   /** A metric sub-agg: output column name + aggregate expression. `isCount`
     * marks doc-count metrics, which ES reports as 0 (not NULL) on
     * gap-filled empty histogram buckets.
