@@ -271,8 +271,12 @@ object IndexBuilder {
              cfg: IndexConfig): Manifest.IndexMeta = {
     val existing: Option[Manifest.IndexMeta] =
       if (Manifest.exists(indexDir)) Some(Manifest.read(indexDir)) else None
-    val segBase = existing.map(_.segments.map(_.segId).max + 1).getOrElse(0)
-    val batch = existing.map(_.segments.map(_.batch).max + 1).getOrElse(0)
+    // maxOption: a freshly-created index has a manifest with ZERO segments
+    // (Graft.create) — the first append must not die on empty.max
+    val segBase = existing.flatMap(_.segments.map(_.segId).maxOption)
+      .map(_ + 1).getOrElse(0)
+    val batch = existing.flatMap(_.segments.map(_.batch).maxOption)
+      .map(_ + 1).getOrElse(0)
     val batchDocs = withSegId(input, cfg.numSegments)
       .withColumn("segId", col("segId") + segBase)
     val segs = writeBatch(spark, batchDocs, indexDir, batch, cfg)
