@@ -515,6 +515,15 @@ object SparkEntry {
         "event_type", name = "event_type", size = 3,
         metrics = Seq(Aggregations.MetricAgg.avg("value", "avg_value")),
         orderByMetric = Some(("avg_value", true)))),
+    // reference range-agg response semantics (agg_tests.rs:470-510): every
+    // requested bucket emitted even when empty — doc_count 0, NULL metrics
+    "agg_range_gap_fill" -> ((s, dir) =>
+      Aggregations.rangeAgg(s.read.parquet(s"$dir/events.parquet"), "value",
+        ranges = Seq(
+          ("*-25", None, Some(25.0)), ("25-50", Some(25.0), Some(50.0)),
+          ("1000-1001", Some(1000.0), Some(1001.0)),
+          ("50-*", Some(50.0), None)),
+        metrics = Seq(Aggregations.MetricAgg.avg("value", "avg_value")))),
     // ES terms response bookkeeping: sum_other_doc_count for the docs
     // outside the top-size cut; error bound 0 (exact single-pass cut)
     "agg_terms_sum_other" -> ((s, dir) =>
@@ -1005,6 +1014,17 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt, round(avg(value), 6) AS avg_value
         |FROM events WHERE event_type IS NOT NULL GROUP BY event_type
         |ORDER BY avg_value DESC, event_type LIMIT 3""".stripMargin,
+    "agg_range_gap_fill" ->
+      """WITH g AS (SELECT CASE WHEN value < 25e0 THEN '*-25'
+        |WHEN value >= 25e0 AND value < 50e0 THEN '25-50'
+        |WHEN value >= 1000e0 AND value < 1001e0 THEN '1000-1001'
+        |WHEN value >= 50e0 THEN '50-*' END AS key,
+        |count(*) AS cnt, round(avg(value), 6) AS avg_value
+        |FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |a AS (SELECT * FROM (VALUES ('*-25'), ('25-50'), ('1000-1001'),
+        |('50-*')) AS t(key))
+        |SELECT a.key, coalesce(g.cnt, CAST(0 AS BIGINT)) AS cnt, g.avg_value
+        |FROM a LEFT JOIN g USING (key) ORDER BY a.key""".stripMargin,
     "agg_terms_sum_other" ->
       """WITH b AS (SELECT event_type, count(*) AS cnt FROM events
         |WHERE event_type IS NOT NULL GROUP BY 1

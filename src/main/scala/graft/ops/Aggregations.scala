@@ -85,6 +85,29 @@ object Aggregations {
     full.map { case (f, t) => (key(f, t), f, t) }
   }
 
+  /** Standalone range aggregation with the reference's response semantics
+    * (`bucket/range.rs`, golden shape `agg_tests.rs:470-510`): every
+    * requested bucket is emitted IN REQUEST ORDER even when empty —
+    * doc_count 0 and NULL metric sub-aggs (the level2 golden asserts the
+    * empty 19-20 bucket with a null average). One shuffle; the request-order
+    * axis is a driver-side literal join like the histogram gap-fill.
+    */
+  def rangeAgg(df: DataFrame, field: String,
+      ranges: Seq[(String, Option[Double], Option[Double])],
+      metrics: Seq[MetricAgg] = Nil, name: String = "key"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = RangeAgg(field, ranges, name).key
+    val aggs = count(lit(1)).as("cnt") +: metrics.map(m => m.expr.as(m.name))
+    val grouped = df.where(col(field).isNotNull)
+      .groupBy(keyed.as(name)).agg(aggs.head, aggs.tail: _*)
+    val axis = ranges.map(_._1).zipWithIndex
+      .toDF(name, "__ord")
+    axis.join(grouped, Seq(name), "left")
+      .na.fill(0L, Seq("cnt"))
+      .orderBy("__ord").drop("__ord")
+  }
+
   /** A metric sub-agg: output column name + aggregate expression. `isCount`
     * marks doc-count metrics, which ES reports as 0 (not NULL) on
     * gap-filled empty histogram buckets.

@@ -74,6 +74,28 @@ class AggParitySpec extends AnyFunSuite {
     assert(out == Map("*-3" -> 1L, "3-7" -> 2L, "7-20" -> 3L, "20-*" -> 1L))
   }
 
+  test("level2: range buckets with metric sub-aggs, empty buckets emitted " +
+      "gap-filled in request order (agg_tests.rs:470-510)") {
+    // the level2 request: 5 explicit ranges; sub-agg = avg over the u64
+    // `score` regardless of which typed field buckets the docs
+    val ranges = Seq(
+      ("*-3", None, Some(3.0)), ("3-7", Some(3.0), Some(7.0)),
+      ("7-19", Some(7.0), Some(19.0)), ("19-20", Some(19.0), Some(20.0)),
+      ("20-*", Some(20.0), None))
+    for (bucketField <- Seq("s_u64", "s_f64", "s_i64")) {
+      val out = Aggregations.rangeAgg(hits, bucketField, ranges,
+        metrics = Seq(MetricAgg("average_in_range", avg(col("s_u64")))))
+        .collect()
+      assert(out.map(_.getString(0)).toSeq ==
+        Seq("*-3", "3-7", "7-19", "19-20", "20-*"), s"order for $bucketField")
+      assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 0L, 1L),
+        s"counts for $bucketField")
+      // empty bucket's metric is NULL; the 20-* doc is score 44 -> 44.0
+      assert(out(3).isNullAt(2), s"19-20 average must be null ($bucketField)")
+      assert(out(4).getDouble(2) == 44.0, s"20-* average ($bucketField)")
+    }
+  }
+
   test("the f64 range twin buckets identically (agg_tests.rs rangef64)") {
     val ranges = esRanges(Seq(
       (Some(3.0), Some(7.0)), (Some(7.0), Some(20.0))))
