@@ -35,7 +35,7 @@ object Stemmers {
   private val deStEnding = "bdfghklmnt".toSet
 
   def stemGerman(input: String): String = {
-    if (input.length < 2) return input
+    if (input.isEmpty) return input
     // preprocess: ß -> ss; mark u/y between vowels as consonants (U/Y)
     var w = input.replace("ß", "ss")
     locally {

@@ -1,8 +1,8 @@
 package graft.analysis
 
-/** Snowball stemmers for the remaining languages the reference's `Stemmer`
-  * filter supports (`src/tokenizer/stemmer.rs:12-31`): Romanian, Turkish,
-  * Greek, Arabic, Tamil. Implemented from the published Snowball
+/** Snowball stemmers for Romanian, Turkish, and Greek (the reference's
+  * `Stemmer` filter languages, `src/tokenizer/stemmer.rs:12-31`; Arabic and
+  * Tamil live in StemmersArabic / StemmersTamil). Implemented from the published Snowball
   * specifications (snowballstem.org) and validated against golden vectors
   * harvested from the published implementations (tools/gen_stem_vectors.py,
   * GoldenStemSpec). Pure functions — used identically at index and query
@@ -138,130 +138,45 @@ object StemmersEastern {
     }
 
     // ---- step 3: verb suffixes (in RV; only if steps 1-2 removed nothing).
-    // Group A additionally needs the preceding char to be a consonant or u,
-    // itself within RV; the longest match decides (a failed condition
-    // blocks — no backtracking).
+    // ONE among (the published 94-entry table): group A entries additionally
+    // need the preceding char to be a consonant or u, itself within RV; the
+    // LONGEST match decides and a failed condition blocks — no backtracking
+    // to a shorter entry (zdiirăm stays whole: irăm matches, i precedes).
     if (!removedStandard) {
-      val groupA = Seq("are", "ere", "ire", "âre", "ind", "ând", "indu",
-        "ându", "eze", "ească", "ez", "ezi", "ează", "esc", "eşti",
-        "eşte", "ăsc", "ăşti", "ăşte", "am", "ai", "au", "eam", "eai",
-        "ea", "eaţi", "eau", "iam", "iai", "ia", "iaţi", "iau", "ui",
-        "aşi", "arăm", "arăţi", "ară", "asem", "aseşi", "ase", "aserăm",
-        "aserăţi", "aseră", "isem", "iseşi", "ise", "iserăm", "iserăţi",
-        "iseră", "âi", "âsem", "âseşi", "âse", "âserăm", "âserăţi",
-        "âseră")
-      val seFam = Seq("seşi", "serăm", "serăţi", "seră", "se")
-      val groupB = Seq("ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi",
-        "sei", "sesem", "seseşi", "sese", "seserăm", "seserăţi",
-        "seseră") ++ seFam
-      (groupA ++ groupB).filter(s => fits(rv, s))
+      val groupA = Seq("ea", "ia", "esc", "ăsc", "ind", "ând", "are",
+        "ere", "ire", "âre", "ase", "ise", "use", "âse", "eşte", "ăşte",
+        "eze", "ai", "eai", "iai", "eşti", "ăşti", "ui", "ezi", "aşi",
+        "aseşi", "iseşi", "useşi", "âseşi", "işi", "uşi", "âşi", "âi",
+        "eaţi", "iaţi", "arăţi", "aserăţi", "iserăţi", "userăţi",
+        "âserăţi", "irăţi", "urăţi", "ârăţi", "am", "eam", "iam", "asem",
+        "isem", "usem", "âsem", "arăm", "aserăm", "iserăm", "userăm",
+        "âserăm", "irăm", "urăm", "ârăm", "au", "eau", "iau", "indu",
+        "ându", "ez", "ează", "ească", "ară", "aseră", "iseră", "useră",
+        "âseră", "iră", "ură", "âră")
+      val groupB = Seq("se", "sese", "sei", "seşi", "seseşi", "aţi",
+        "eţi", "iţi", "âţi", "serăţi", "seserăţi", "em", "sesem", "im",
+        "ăm", "âm", "serăm", "seserăm", "seră", "seseră")
+      (groupA ++ groupB).filter(w.endsWith)
         .sortBy(-_.length).headOption.foreach { s =>
-          if (seFam.contains(s)) {
-            // the se-family also strips an optional preceding u
-            w = w.dropRight(s.length)
-            if (w.endsWith("u")) w = w.dropRight(1)
-          } else if (groupB.contains(s)) w = w.dropRight(s.length)
-          else {
-            val p = w.length - s.length - 1 // preceding char, must be in RV
-            if (p >= rv && (!isV(w(p)) || w(p) == 'u'))
-              w = w.dropRight(s.length)
+          if (fits(rv, s)) {
+            if (groupB.contains(s)) w = w.dropRight(s.length)
+            else {
+              val p = w.length - s.length - 1 // preceding char, in RV
+              if (p >= rv && (!isV(w(p)) || w(p) == 'u'))
+                w = w.dropRight(s.length)
+            }
           }
         }
     }
 
-    // ---- step 4: vowel removal (in RV)
-    Seq("ie", "a", "e", "i", "ă").filter(s => fits(rv, s))
-      .sortBy(-_.length).headOption.foreach(s => w = w.dropRight(s.length))
+    // ---- step 4: vowel removal (in RV) — longest MATCH first, RV test
+    // after (mdie keeps its e: ie matches outside RV and blocks)
+    Seq("ie", "a", "e", "i", "ă").filter(w.endsWith)
+      .sortBy(-_.length).headOption.foreach { s =>
+        if (fits(rv, s)) w = w.dropRight(s.length)
+      }
 
     w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
-  }
-
-  // =========================================================================
-  // Arabic (Snowball "arabic", Assem Chelli's algorithm) — diacritic
-  // normalization, definite-article detection (noun/verb/defined flags),
-  // object/subject suffix chains with per-step length guards, then
-  // conjunction/preposition/article prefixes. Validated against golden
-  // vectors from the published implementation.
-  // =========================================================================
-
-  private val arDiacritics = "ًٌٍَُِّْـ".toSet
-
-  def stemArabic(input: String): String = {
-    // Normalize_pre: strip harakat/tanween/shadda/sukun + tatweel
-    var w = input.filterNot(arDiacritics)
-    if (w.isEmpty) return w
-    var isNoun = true
-    var isVerb = true
-    var isDefined = false
-
-    // Checks1: a leading definite article marks a noun
-    if ((w.startsWith("بال") || w.startsWith("كال")) && w.length > 4) {
-      isNoun = true; isVerb = false; isDefined = true
-    } else if ((w.startsWith("ال") || w.startsWith("لل")) && w.length > 3) {
-      isNoun = true; isVerb = false; isDefined = true
-    }
-
-    def ends(s: String): Boolean = w.endsWith(s)
-    def drop(n: Int): Unit = w = w.dropRight(n)
-    def stripLongest(sufs: Seq[String], minLen: Int): Boolean = {
-      val s = sufs.filter(x => ends(x) && w.length >= minLen + x.length)
-        .sortBy(-_.length).headOption
-      s.foreach(x => drop(x.length)); s.isDefined
-    }
-
-    // ---- suffixes
-    val verbObj = Seq("كما", "هما", "كمو", "ني", "نا", "ها", "هم", "هن",
-      "كم", "كن", "ه", "ك")
-    val verbSubj2a = Seq("تما", "تا", "تن", "ان", "ون", "ين", "نا", "ت",
-      "ا", "ن", "ي")
-    var done = false
-    if (isVerb && !done) {
-      if (stripLongest(verbObj, 2)) {
-        // object pronoun, then an optional subject suffix
-        if (!stripLongest(Seq("وا", "تم"), 2))
-          stripLongest(Seq("تمو", "و"), 2)
-        done = true
-      } else if (stripLongest(Seq("وا", "تم"), 2)) done = true
-      else if (stripLongest(verbSubj2a, 2)) done = true
-    }
-    if (isNoun && !done) {
-      val poss = Seq("كما", "هما", "نا", "كم", "هم", "هن", "كن", "ها",
-        "ي", "ك", "ه")
-      if (!isDefined && stripLongest(poss, 2)) {
-        stripLongest(Seq("ات", "ا", "ي", "و"), 2)
-        done = true
-      } else if (ends("ن") && w.length > 5) {
-        drop(1)
-        if (!stripLongest(Seq("ات"), 2)) stripLongest(Seq("ا", "ي", "و"), 2)
-        done = true
-      } else if (stripLongest(Seq("ات"), 2)) done = true
-      else if (stripLongest(Seq("ا", "ي", "و"), 2)) done = true
-      else if (ends("ة") && w.length > 2) { drop(1); done = true }
-    }
-    if (!done && ends("ى")) w = w.dropRight(1) + "ي" // alef maqsura
-
-    // ---- prefixes
-    if (w.length > 3 && (w.startsWith("ف") || w.startsWith("و")) &&
-        w.length > 1 && w(1) != 'ا')
-      w = w.substring(1)
-    if ((w.startsWith("ال") || w.startsWith("لل")) && w.length > 5)
-      w = w.substring(2)
-    else if (isNoun) {
-      if ((w.startsWith("كك") || w.startsWith("بب")) && w.length > 4)
-        w = w.substring(1)
-      else if (w.startsWith("ب") && w.length > 3) w = w.substring(1)
-    } else if (isVerb) {
-      if (w.length > 4 && Seq("يست", "نست", "تست").exists(w.startsWith))
-        w = "است" + w.substring(3)
-      else if (w.length > 3 && Seq("سي", "ست", "سن", "سأ").exists(w.startsWith))
-        w = w.substring(1)
-    }
-
-    // Normalize_post: bare hamza forms
-    w.map {
-      case 'أ' | 'إ' | 'آ' => 'ا'
-      case c => c
-    }
   }
 
   // =========================================================================
@@ -283,7 +198,9 @@ object StemmersEastern {
 
   def stemGreek(input: String): String = {
     var w = input.map(elDeaccent)
-    if (w.length < 3 || w.exists(c => !(c >= 'α' && c <= 'ω'))) return w
+    // min length only — the published algorithm runs its suffix rules on
+    // mixed-alphabet tokens too (non-Greek chars are ordinary consonants)
+    if (w.length < 3) return w
     var test1 = true
     def ends(s: String): Boolean = w.endsWith(s)
     def drop(s: String): Unit = w = w.dropRight(s.length)
@@ -670,8 +587,9 @@ object StemmersEastern {
         "υτατ", "ωτερ", "ωτατ"))
       if (s != null) drop(s)
     }
-    // a rule chain that consumed the whole word yields the input back
-    if (w.isEmpty) input.map(elDeaccent) else w
+    // a rule chain that consumed the whole word yields the PRISTINE input
+    // back — accents included (probed: άει → άει, not αει)
+    if (w.isEmpty) input else w
   }
 
   // =========================================================================

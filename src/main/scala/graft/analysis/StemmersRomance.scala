@@ -81,7 +81,7 @@ object StemmersRomance {
     (esStep2bGu ++ esStep2bRest).toSeq.sortBy(s => (-s.length, s))
 
   def stemSpanish(input: String): String = {
-    if (input.length < 2) return input
+    if (input.isEmpty) return input
     var w = input
     @inline def isV(c: Char) = esVowels(c)
     val rv = romanceRV(w, isV)
@@ -239,7 +239,7 @@ object StemmersRomance {
     "ar", "ir").sortBy(s => (-s.length, s))
 
   def stemItalian(input: String): String = {
-    if (input.length < 2) return input
+    if (input.isEmpty) return input
     // prelude: acute -> grave; u after q -> U; u/i between vowels -> U/I
     var w = input.map {
       case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'
@@ -395,7 +395,7 @@ object StemmersRomance {
     .sortBy(s => (-s.length, s))
 
   def stemPortuguese(input: String): String = {
-    if (input.length < 2) return input
+    if (input.isEmpty) return input
     // prelude: nasal vowels marked as two-char sequences a~ / o~
     var w = input.replace("ã", "a~").replace("õ", "o~")
     @inline def isV(c: Char) = ptVowels(c)
@@ -530,7 +530,7 @@ object StemmersRomance {
     (frStep2bIons ++ frStep2bEr ++ frStep2bA).toSeq.sortBy(s => (-s.length, s))
 
   def stemFrench(input: String): String = {
-    if (input.length < 2) return input
+    if (input.isEmpty) return input
     // prelude: y next to a vowel -> Y; u after q -> U; u/i between vowels -> U/I
     var w = input
     locally {

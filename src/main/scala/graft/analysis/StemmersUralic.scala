@@ -226,9 +226,12 @@ object StemmersUralic {
     }
 
   /** Post-delete tidy: final á → a, final é → e. */
-  private def huVEnding(w: String): String =
-    if (w.endsWith("á")) w.dropRight(1) + "a"
-    else if (w.endsWith("é")) w.dropRight(1) + "e"
+  /** v_ending: final á→a / é→e, but ONLY when the vowel itself lies in R1
+    * (probed: hmán → hmá, the á before R1 survives the n-removal intact).
+    */
+  private def huVEnding(w: String, r1: Int): String =
+    if (w.endsWith("á") && w.length - 1 >= r1) w.dropRight(1) + "a"
+    else if (w.endsWith("é") && w.length - 1 >= r1) w.dropRight(1) + "e"
     else w
 
   def stemHungarian(input: String): String = {
@@ -249,7 +252,7 @@ object StemmersUralic {
       "től", "ról", "ről", "ból", "ből", "hoz", "hez", "höz", "nál", "nél",
       "ért", "kor", "ba", "be", "ra", "re", "ul", "ül", "vá", "vé", "at",
       "et", "ot", "öt", "ig", "en", "on", "an", "ön", "n", "t")) { s =>
-      if (fit(s)) w = huVEnding(w.dropRight(s.length))
+      if (fit(s)) w = huVEnding(w.dropRight(s.length), r1)
     }
 
     // ---- step 3: special cases
@@ -274,8 +277,8 @@ object StemmersUralic {
 
     // ---- step 6: owned
     amongBlock(w, Seq("áké", "áéi", "éké", "ééi", "oké", "öké", "aké",
-      "eké", "áé", "éé", "ké", "éi", "é")) {
-      case s @ ("áké" | "áéi" | "áé") =>
+      "eké", "éé", "ké", "éi", "é")) {
+      case s @ ("áké" | "áéi") =>
         if (fit(s)) w = w.dropRight(s.length) + "a"
       case s @ ("éké" | "ééi" | "éé") =>
         if (fit(s)) w = w.dropRight(s.length) + "e"
@@ -284,8 +287,9 @@ object StemmersUralic {
 
     // ---- step 7: singular owner suffixes
     amongBlock(w, Seq("ájuk", "éjük", "ánk", "énk", "juk", "jük", "unk",
-      "ünk", "ám", "ád", "ém", "éd", "em", "om", "am", "od", "ed", "ad",
-      "öd", "ja", "je", "uk", "ük", "á", "é", "m", "d", "a", "e", "o")) {
+      "ünk", "nk", "ám", "ád", "ém", "éd", "em", "om", "am", "od", "ed",
+      "ad", "öd", "ja", "je", "uk", "ük", "á", "é", "m", "d", "a", "e",
+      "o")) {
       case s @ ("ánk" | "ájuk" | "ám" | "ád" | "á") =>
         if (fit(s)) w = w.dropRight(s.length) + "a"
       case s @ ("énk" | "éjük" | "ém" | "éd" | "é") =>

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.analysis.{Stemmer, Stemmers, StemmersRomance, StemmersUralic, StemmersEastern}
+import graft.analysis.{Stemmer, Stemmers, StemmersRomance, StemmersUralic, StemmersEastern, StemmersArabic, StemmersTamil}
 import scala.io.Source
 
 /** Diff our Snowball implementations against golden vectors harvested from
@@ -25,7 +25,8 @@ object StemCheck {
     "romanian" -> StemmersEastern.stemRomanian,
     "turkish" -> StemmersEastern.stemTurkish,
     "greek" -> StemmersEastern.stemGreek,
-    "arabic" -> StemmersEastern.stemArabic
+    "arabic" -> StemmersArabic.stemArabic,
+    "tamil" -> StemmersTamil.stemTamil
   )
 
   def main(args: Array[String]): Unit = {
