@@ -594,12 +594,8 @@ object StemmersEastern {
 
   // =========================================================================
   // Turkish (Snowball "turkish") — nominal suffix stripping with vowel
-  // harmony. Known residual divergence (documented, excluded from the
-  // golden corpus): two non-linguistic fuzz shapes exercise the
-  // yU-continuation chain order (nUn-after-yU) and a lar-path devoicing
-  // nuance that this chain transcription orders differently; every real
-  // inflection probed (possessives, cases, devoicing, d/g vowel re-append)
-  // matches the published implementation. Suffix marks compose via a cursor (person + tense compounds);
+  // harmony; buffer guards, continuation order, and the postlude gating
+  // recovered from the shipped binary and probe-validated. Suffix marks compose via a cursor (person + tense compounds);
   // harmony is checked at the current cursor: the last vowel must have SOME
   // earlier vowel of its harmony class (4-way for high vowels ı/i/u/ü,
   // 2-way backness for a/e). Buffer consonants y/n/s are two-sided: present
@@ -883,7 +879,15 @@ object StemmersEastern {
                       case None => mkPoss(w, n) match {
                         case Some(e) => cut(e); contLArChain()
                         case None => mkYU(w, n) match {
-                          case Some(e) => cut(e); contPossLAr()
+                          case Some(e) =>
+                            cut(e)
+                            // continuation order probed against the
+                            // published implementation: a genitive nUn may
+                            // follow the accusative strip (…oöınü → …oö)
+                            mkNUn(w, w.length) match {
+                              case Some(e2) => cut(e2); contLArChain()
+                              case None => contPossLAr()
+                            }
                           case None => mkDA(w, n) match {
                             case Some(e) => cut(e); contPossLAr()
                             case None => mkYA(w, n) match {
@@ -903,8 +907,13 @@ object StemmersEastern {
       }
     }
 
-    // ---- postlude: reserved words, d/g vowel re-append, consonant map
+    // ---- postlude: reserved words, d/g vowel re-append, consonant map.
+    // Probed against the published implementation: BOTH normalizations run
+    // only on the noun-suffix path — a phase-1 lar/ler strip (which clears
+    // the continue flag) leaves the final consonant as-is (kitablar →
+    // kitab, pakadlar → pakad), while kitabdı/kitab → kitap etc. devoice.
     if (w == "ad" || w == "soyad") return w
+    if (!continueNoun) return w
     if (w.nonEmpty && (w.last == 'd' || w.last == 'g')) {
       var lv = w.length - 1
       while (lv >= 0 && !trV(w(lv))) lv -= 1
