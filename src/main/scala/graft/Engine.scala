@@ -41,6 +41,14 @@ object Engine {
         col("n_chars").cast("string").as("nchars"),                    // U64
         expr("""date_format(date_add(DATE'2020-01-01', CAST(doc_id % 60 AS INT)),
                 "yyyy-MM-dd'T'HH:mm:ss'Z'")""").as("mtime"),           // DATE
+        // DATE with millisecond precision (`date_time_options.rs`): the
+        // input carries MICROsecond digits, which the date_millis chain
+        // truncates at indexing — millis = doc_id % 997, micros extra =
+        // doc_id % 61 (dropped); DuckDB replays the predicate in integers
+        expr("""concat(date_format(date_add(DATE'2020-01-01', CAST(doc_id % 60 AS INT)),
+                "yyyy-MM-dd'T'00:00:00."),
+                format_string('%03d%03d', CAST(doc_id % 997 AS INT), CAST(doc_id % 61 AS INT)),
+                'Z')""").as("mtimems"),                                // DATE millis
         expr("CASE WHEN n_chars % 2 = 0 THEN 'true' ELSE 'false' END").as("even"), // BOOL
         format_string("%04x", (col("doc_id") % 65521).cast("int")).as("blob"), // BYTES (hex)
         // the same text again under an en_stem-analyzed field
@@ -83,6 +91,7 @@ object Engine {
       FieldDef("stemmed", "en_stem", "position"),
       // typed fields: order-preserving hex/ISO terms (field_type.rs)
       FieldDef.U64("nchars"), FieldDef.DATE("mtime"),
+      FieldDef.DATE("mtimems", "millis"),
       FieldDef.BOOL("even"), FieldDef.BYTES("blob"),
       // schema-less JSON object field (doc/src/json.md)
       FieldDef("meta", "json", "position"),
@@ -280,6 +289,55 @@ object Engine {
       .agg(round(expr(s"max(sc) + $tie * (sum(sc) - max(sc))"), 6).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+
+  /** Scored PhrasePrefixQuery (MultiPrefix shape) in f64 — the twin of the
+    * reference semantics wired in `Searcher.compileRaw`
+    * (`phrase_prefix_scorer.rs:84-93`, `phrase_prefix_query.rs:113-115`):
+    * weight = for_terms over the FIXED terms' dfs, tf = the fixed phrase's
+    * occurrence count, the prefix expansion only gates matching. Output
+    * (doc_id, score DOUBLE rounded 6) ascending.
+    */
+  def phrasePrefixScoredF64(sr: Searcher, terms: Seq[(Int, String)],
+                            prefix: (Int, String), maxExpansions: Int = 50): DataFrame = {
+    val expansions = sr.prefixExpansions(prefix._2, maxExpansions)
+    val counts = sr.slotPhraseCounts(terms.map(t => Seq(t._2)),
+      terms.map(_._1).toArray, slop = 0, prefix = Some((prefix._1, expansions)))
+    scoreCountsF64(sr, counts, terms.map(_._2))
+  }
+
+  /** Scored RegexPhraseQuery in f64 — twin of `regex_phrase_weight.rs`:
+    * tf = the slot-union phrase count; weight = for_terms over the raw
+    * PATTERN STRINGS as terms (`regex_phrase_query.rs:107-111,144-149`),
+    * i.e. df = 0 unless a pattern is literally a dictionary term.
+    */
+  def regexPhraseScoredF64(sr: Searcher, patterns: Seq[(Int, String)],
+                           slop: Int = 0, maxExpansions: Int = 1000): DataFrame = {
+    val slots = patterns.map(p => sr.regexExpansions(p._2, maxExpansions))
+    val counts = sr.slotPhraseCounts(slots, patterns.map(_._1).toArray, slop)
+    scoreCountsF64(sr, counts, patterns.map(_._2))
+  }
+
+  /** Shared scorer for the phrase twins: multi-term BM25 in double with the
+    * exact dl from docmap (the established oracle convention), tf = cnt.
+    */
+  private def scoreCountsF64(sr: Searcher, counts: DataFrame,
+                             weightTerms: Seq[String]): DataFrame = {
+    val spark = sr.spark
+    import spark.implicits._
+    val dfs = sr.docFreqs(weightTerms.distinct)
+    val nDocs = sr.totalNumDocs
+    val idfSum = weightTerms
+      .map(t => graft.score.Bm25.F64.idf(dfs.getOrElse(t, 0L), nDocs)).sum
+    val weight = idfSum * 2.2d
+    val avgdlSql = s"CAST(${sr.totalNumTokens} AS DOUBLE) / $nDocs"
+    counts
+      .join(sr.docmap.select($"segId", $"docId", $"path", $"tokenCount".as("dl")),
+        Seq("segId", "docId"))
+      .select($"path".cast("long").as("doc_id"),
+        round(expr(s"$weight * (cnt / (cnt + 1.2e0 * (0.25e0 + 0.75e0 * dl / ($avgdlSql))))"),
+          6).as("score"))
+      .orderBy("doc_id")
+  }
 
   /** Boosted disjunction in f64: per-term multiplicative boost (the
     * weight-level boost of `bm25.rs:80-87`), boosts given as e0 SQL

@@ -60,6 +60,26 @@ object SparkEntry {
 
   private def inList(ts: Seq[String]): String = ts.map(t => s"'$t'").mkString(", ")
 
+  /** BM25 CTE chain like [[bmCtes]] but with the document length read
+    * through the reference's 256-entry fieldnorm quantization table
+    * (`src/fieldnorm/code.rs`, `FieldNorm.Table`) — the dl the f32
+    * production scorers (WAND/phrase) actually see. avgdl stays the exact
+    * totalNumTokens / numDocs, like the engine's stats.
+    */
+  private def bmCtesQuantized(terms: Seq[String]): String = {
+    val in = terms.distinct.map(t => s"'$t'").mkString(", ")
+    val fnVals = graft.analysis.FieldNorm.Table.distinct.sorted.mkString(", ")
+    s"""$tokCte,
+       |dl0 AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM dl0),
+       |fn AS (SELECT unnest([$fnVals]) AS n),
+       |dl AS (SELECT doc_id, (SELECT max(n) FROM fn WHERE n <= dl0.dl) AS dl FROM dl0),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok WHERE t IN ($in) GROUP BY doc_id, t),
+       |dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok WHERE t IN ($in) GROUP BY t),
+       |sc AS (SELECT doc_id, t, ${Engine.bm25F64("nd", "CAST(tt AS DOUBLE) / nd")} AS sc
+       |       FROM tf JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN st)""".stripMargin
+  }
+
   // ------------------------------------------------------------ entry point
 
   /** Flagship: BM25 top-10 disjunction over the sf0.001 documents corpus. */
@@ -113,6 +133,17 @@ object SparkEntry {
     "ft_phrase_prefix" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
         PhrasePrefixQ(Seq(0 -> "order"), prefix = 1 -> "s"))),
+    // scored phrase-prefix, the MultiPrefix shape (>= 2 fixed terms): BM25
+    // through the fixed-terms phrase scorer, prefix gates matching only
+    // (`phrase_prefix_scorer.rs:84-93`); f64 twin of the Searcher path
+    "ft_phrase_prefix_scored" -> ((s, dir) =>
+      Engine.phrasePrefixScoredF64(Engine.searcher(s, dir),
+        Seq(0 -> "join", 1 -> "row"), prefix = (2, "s"))),
+    // scored regex phrase (`regex_phrase_weight.rs`): tf = slot-union
+    // phrase count, weight from the raw pattern strings' (zero) dfs
+    "ft_regex_phrase_scored" -> ((s, dir) =>
+      Engine.regexPhraseScoredF64(Engine.searcher(s, dir),
+        Seq(0 -> "^sp[a-z]*$", 1 -> "^m[a-z]*e$"))),
     "ft_term_set" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir), TermSetQ(Set("dup", "vector")))),
     // ---- multi-valued fields (postings_writer.rs:136-160; columnar
@@ -177,6 +208,15 @@ object SparkEntry {
       Engine.docIds(Engine.searcher(s, dir),
         QueryParser.parse(
           "mtime:[2020-01-05T00:00:00Z TO 2020-01-20T02:00:00+02:00}",
+          opts = Engine.parseOpts))),
+    // millisecond-precision date range (`date_time_options.rs`
+    // DatePrecision::Milliseconds): the indexed terms truncated the input's
+    // microsecond digits, and the query bounds canonicalize through the
+    // same date_millis chain — sub-millisecond bound digits truncate too
+    "ft_date_range_millis" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse(
+          "mtimems:[2020-01-05T00:00:00.100Z TO 2020-01-20T00:00:00.500999Z}",
           opts = Engine.parseOpts))),
     // bool term AND a default-field text term
     "ft_bool_term" -> ((s, dir) =>
@@ -341,14 +381,26 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
         .limit(15)
     },
-    // WAND path (f32 tantivy-parity scores; parity vs the exact path is
-    // enforced in the ScalaTest suite — f32 is not DuckDB-expressible, so
-    // this entry gets the driver's rows-only check)
+    // WAND path (f32 tantivy-parity scores), oracle-gated: the f32 score
+    // rounded to 4 decimals equals the f64 twin's rounded score for this
+    // query (WandOracleSpec asserts the rounding agreement and that the
+    // top-10 boundary gap dwarfs f32 error, so the doc set is tie-safe)
     "ft_wand_topk" -> { (s, dir) =>
-      import s.implicits._
       val sr = Engine.searcher(s, dir)
-      sr.topDocsWand(Seq("spark", "merge", "order"), 10).toSeq
-        .toDF("segId", "docId", "score")
+      val hits = sr.topDocsWand(Seq("spark", "merge", "order"), 10)
+      sr.fetch(hits)
+        .select(col("path").cast("long").as("doc_id"),
+          round(col("score").cast("double"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    },
+    // TopDocs::order_by_string_fast_field (`top_score_collector.rs:574`):
+    // top-k ordered by a STRING fast-field column (desc, docId tie-break)
+    "ft_top_by_string" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      Engine.docIdsWithDocmap(sr, TermQ("join"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(desc("lang"), asc("doc_id"))
+        .limit(15)
     },
 
     // ---- aggregations (ES-style agg tree -> Spark built-ins) ----
@@ -727,6 +779,18 @@ object SparkEntry {
          |SELECT doc_id, round(sum(sc * CASE t WHEN 'spark' THEN 2e0 ELSE 1e0 END), 6) AS score
          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    // the WAND entry's f64 twin: quantized-fieldnorm dl (what the f32
+    // scorer reads), ordered by the unrounded sum (the engine orders by
+    // exact f32 score), projected at 4 decimals where f32 == f64 for this
+    // query (WandOracleSpec asserts the rounding agreement + boundary gap)
+    "ft_wand_topk" ->
+      s"""WITH ${bmCtesQuantized(Seq("spark", "merge", "order"))}
+         |SELECT doc_id, round(sum(sc), 4) AS score FROM sc GROUP BY doc_id
+         |ORDER BY sum(sc) DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_top_by_string" ->
+      s"""WITH $tokCte SELECT doc_id, lang FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM tok WHERE t = 'join')
+         |ORDER BY lang DESC, doc_id LIMIT 15""".stripMargin,
     "ft_tweak_score" ->
       s"""WITH ${bmCtes(Seq("spark"))},
          |b AS (SELECT doc_id, sum(sc) AS bm25 FROM sc GROUP BY doc_id)
@@ -776,6 +840,42 @@ object SparkEntry {
          |WHERE a.t = 'order' AND b.t LIKE 's%' ORDER BY doc_id""".stripMargin,
     "ft_term_set" ->
       s"WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t IN ('dup', 'vector') ORDER BY doc_id",
+    // fixed-phrase count as tf, prefix-extension as the match gate, BM25
+    // weight from the two fixed terms' dfs — exact dl per the established
+    // f64-twin convention
+    "ft_phrase_prefix_scored" ->
+      s"""WITH $posCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM pos GROUP BY doc_id),
+         |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+         |dfs AS (SELECT count(DISTINCT CASE WHEN t = 'join' THEN doc_id END) AS dfa,
+         |        count(DISTINCT CASE WHEN t = 'row' THEN doc_id END) AS dfb FROM pos),
+         |m AS (SELECT a.doc_id, a.i FROM pos a
+         |      JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |      WHERE a.t = 'join' AND b.t = 'row'),
+         |c AS (SELECT doc_id, count(*) AS cnt FROM m GROUP BY doc_id),
+         |ok AS (SELECT DISTINCT m.doc_id FROM m
+         |       JOIN pos p ON p.doc_id = m.doc_id AND p.i = m.i + 2 AND p.t LIKE 's%')
+         |SELECT doc_id, round(
+         |  (ln(1e0 + (nd - dfa + 0.5e0) / (dfa + 0.5e0))
+         |   + ln(1e0 + (nd - dfb + 0.5e0) / (dfb + 0.5e0))) * 2.2e0
+         |  * (cnt / (cnt + 1.2e0 * (0.25e0 + 0.75e0 * dl / (CAST(tt AS DOUBLE) / nd)))), 6) AS score
+         |FROM c JOIN ok USING (doc_id) JOIN dl USING (doc_id)
+         |CROSS JOIN st CROSS JOIN dfs ORDER BY doc_id""".stripMargin,
+    // slot-union phrase count as tf; the pattern strings' df is 0 (they are
+    // not dictionary terms), so idf = ln(1 + (N + 0.5)/0.5) per slot
+    "ft_regex_phrase_scored" ->
+      s"""WITH $posCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM pos GROUP BY doc_id),
+         |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+         |m AS (SELECT DISTINCT a.doc_id, a.i FROM pos a
+         |      JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |      WHERE regexp_matches(a.t, '^sp[a-z]*$$')
+         |        AND regexp_matches(b.t, '^m[a-z]*e$$')),
+         |c AS (SELECT doc_id, count(*) AS cnt FROM m GROUP BY doc_id)
+         |SELECT doc_id, round(
+         |  2e0 * ln(1e0 + (nd + 0.5e0) / 0.5e0) * 2.2e0
+         |  * (cnt / (cnt + 1.2e0 * (0.25e0 + 0.75e0 * dl / (CAST(tt AS DOUBLE) / nd)))), 6) AS score
+         |FROM c JOIN dl USING (doc_id) CROSS JOIN st ORDER BY doc_id""".stripMargin,
     "ft_multivalue_term" ->
       """SELECT doc_id FROM documents
         |WHERE lang = 'src5' OR source = 'src5'
@@ -807,6 +907,14 @@ object SparkEntry {
       // upper bound 2020-01-20T02:00:00+02:00 is 2020-01-20T00:00:00Z
       // exclusive => days 4..18 inclusive
       "SELECT doc_id FROM documents WHERE doc_id % 60 BETWEEN 4 AND 18 ORDER BY doc_id",
+    // mtimems day = doc_id % 60, millis = doc_id % 997 (micros truncated);
+    // [day4 @ .100 inclusive, day19 @ .500 exclusive — the bound's .500999
+    // micros digits truncate through the same date_millis chain)
+    "ft_date_range_millis" ->
+      """SELECT doc_id FROM documents
+        |WHERE (doc_id % 60 > 4 OR (doc_id % 60 = 4 AND doc_id % 997 >= 100))
+        |  AND (doc_id % 60 < 19 OR (doc_id % 60 = 19 AND doc_id % 997 < 500))
+        |ORDER BY doc_id""".stripMargin,
     "ft_bool_term" ->
       s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok
          |JOIN documents USING (doc_id)
@@ -1032,7 +1140,7 @@ object SparkEntry {
         |t AS (SELECT count(*) AS total FROM events
         |WHERE event_type IS NOT NULL)
         |SELECT b.event_type, b.cnt,
-        |t.total - (SELECT sum(cnt) FROM b) AS sum_other_doc_count,
+        |CAST(t.total - (SELECT sum(cnt) FROM b) AS BIGINT) AS sum_other_doc_count,
         |CAST(0 AS BIGINT) AS doc_count_error_upper_bound
         |FROM b, t ORDER BY cnt DESC, event_type""".stripMargin,
     // floor(-100/20) = -5, floor(600/20) = 30: the extended_bounds bucket
@@ -1169,6 +1277,40 @@ object SparkEntry {
          |FROM d JOIN n USING (vec_id) CROSS JOIN qn
          |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
 
+    // replays the LSH probe path bit-for-bit (same integer-arithmetic
+    // hyperplanes as dedup_embed): every vector's bucket, the query's
+    // (vec_id 0) bucket + its Hamming-1 neighbors as the probe set, exact
+    // cosine top-k over probed candidates only — the approximation itself
+    // is oracle-CHECKED, like dedup_embed
+    "ann_lsh_topk" ->
+      s"""WITH $embCte
+         |, pl AS (SELECT j, d,
+         |    CAST(((j * 131 + d) * 2654435761 + 1013904223) % $P AS DOUBLE) / $P * 2 - 1 AS w
+         |    FROM range(${Similarity.NumPlanes}) t(j) CROSS JOIN range(64) r(d)),
+         |dt AS (SELECT v.vec_id, pl.j, sum(v.x * pl.w) AS dp
+         |    FROM v JOIN pl ON pl.d = v.i - 1 GROUP BY v.vec_id, pl.j),
+         |bk AS (SELECT vec_id, CAST(sum(CASE WHEN dp >= 0
+         |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+         |    FROM dt GROUP BY vec_id),
+         |qb AS (SELECT bucket AS b0 FROM bk WHERE vec_id = 0),
+         |pr AS (SELECT b0 AS pb FROM qb
+         |    UNION ALL
+         |    SELECT xor(b0, CAST(1 AS BIGINT) << j) AS pb
+         |    FROM qb CROSS JOIN range(${Similarity.NumPlanes}) t(j)),
+         |cand AS (SELECT vec_id FROM bk WHERE bucket IN (SELECT pb FROM pr)),
+         |q AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
+         |qn AS (SELECT sqrt(sum(qx * qx)) AS qn FROM q),
+         |d AS (SELECT v.vec_id, sum(x * qx) AS dot FROM v JOIN q USING (i)
+         |    WHERE v.vec_id IN (SELECT vec_id FROM cand) GROUP BY v.vec_id)
+         |SELECT vec_id, round(dot / (nrm * qn), 6) AS cosine
+         |FROM d JOIN n USING (vec_id) CROSS JOIN qn
+         |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    // replays the deterministic IVF training + probe + re-rank end to end
+    // (no RNG anywhere; assignment dots rounded to 9 decimals on both
+    // sides absorb fp summation-order differences)
+    "ann_ivf_topk" -> ivfOracleSql,
+
     "text_langid_fitted" ->
       s"""WITH tri AS (SELECT doc_id, lang,
          |    unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
@@ -1259,6 +1401,52 @@ object SparkEntry {
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2"
   )
+
+  /** One Lloyd round as SQL CTEs (mirror of Similarity.ivfCentroids):
+    * assignment = argmax_cid round(dot, 9) with ties to the HIGHER cid
+    * (`assignExpr`'s lexicographic struct max), re-center = per-dimension
+    * mean re-normalized; a cluster with no members or a zero-norm mean
+    * keeps its previous centroid.
+    */
+  private def ivfRoundSql(k: Int, prev: String): String =
+    s"""d$k AS (SELECT u.vec_id, c.cid, round(sum(u.x * c.x), 9) AS d
+       |  FROM u JOIN $prev c USING (i) GROUP BY u.vec_id, c.cid),
+       |a$k AS (SELECT vec_id, cid FROM d$k
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) = 1),
+       |m$k AS (SELECT a$k.cid, u.i, avg(u.x) AS m FROM u JOIN a$k USING (vec_id)
+       |  GROUP BY a$k.cid, u.i),
+       |n$k AS (SELECT cid, sqrt(sum(m * m)) AS nn FROM m$k GROUP BY cid),
+       |c$k AS (SELECT m$k.cid, m$k.i, m$k.m / n$k.nn AS x
+       |  FROM m$k JOIN n$k USING (cid) WHERE n$k.nn > 0
+       |  UNION ALL
+       |  SELECT $prev.cid, $prev.i, $prev.x FROM $prev
+       |  WHERE $prev.cid NOT IN (SELECT cid FROM n$k WHERE nn > 0))""".stripMargin
+
+  /** Full IVF replay: deterministic seeds (16 lowest vec_ids), 2 Lloyd
+    * rounds, final assignment, probe the 4 most-query-similar lists
+    * (ties ascending cid, `ivfProbes`), exact-cosine top-20 re-rank.
+    */
+  private def ivfOracleSql: String =
+    s"""WITH $embCte,
+       |u AS (SELECT v.vec_id, v.i, v.x / n.nrm AS x FROM v JOIN n USING (vec_id)
+       |  WHERE n.nrm > 0),
+       |sd AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM u) ORDER BY vec_id LIMIT 16),
+       |c0 AS (SELECT sd.cid, u.i, u.x FROM u JOIN sd USING (vec_id)),
+       |${ivfRoundSql(1, "c0")},
+       |${ivfRoundSql(2, "c1")},
+       |df_ AS (SELECT u.vec_id, c.cid, round(sum(u.x * c.x), 9) AS d
+       |  FROM u JOIN c2 c USING (i) GROUP BY u.vec_id, c.cid),
+       |af AS (SELECT vec_id, cid FROM df_
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) = 1),
+       |q AS (SELECT i, x FROM u WHERE vec_id = 0),
+       |pd AS (SELECT c.cid, sum(c.x * q.x) AS d FROM c2 c JOIN q USING (i) GROUP BY c.cid),
+       |pr AS (SELECT cid FROM pd ORDER BY d DESC, cid LIMIT 4),
+       |dq AS (SELECT u.vec_id, round(sum(u.x * q.x), 6) AS cosine
+       |  FROM u JOIN q USING (i)
+       |  WHERE u.vec_id IN (SELECT vec_id FROM af WHERE cid IN (SELECT cid FROM pr))
+       |  GROUP BY u.vec_id)
+       |SELECT vec_id, cosine FROM dq ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
 
   /** Shared CTE text: per-component embedding view + norms. */
   private def embCte: String =

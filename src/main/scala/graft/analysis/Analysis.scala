@@ -334,6 +334,12 @@ object Analysis {
     case "f64"   => rawTokenize(text).flatMap(t => canonicalF64(t.text).map(c => t.copy(text = c)))
     case "bool"  => rawTokenize(text).flatMap(t => canonicalBool(t.text).map(c => t.copy(text = c)))
     case "date"  => rawTokenize(text).flatMap(t => canonicalDate(t.text).map(c => t.copy(text = c)))
+    // DatePrecision variants (`date_time_options.rs`): same canonical form,
+    // truncated to milliseconds / microseconds instead of whole seconds
+    case "date_millis" => rawTokenize(text).flatMap(t =>
+      canonicalDate(t.text, "millis").map(c => t.copy(text = c)))
+    case "date_micros" => rawTokenize(text).flatMap(t =>
+      canonicalDate(t.text, "micros").map(c => t.copy(text = c)))
     case "bytes" => rawTokenize(text).flatMap(t => canonicalBytesHex(t.text).map(c => t.copy(text = c)))
     case other => throw new IllegalArgumentException(s"unknown tokenizer chain: $other")
   }
@@ -404,17 +410,31 @@ object Analysis {
   def canonicalBool(s: String): Option[String] =
     s.trim match { case t @ ("true" | "false") => Some(t); case _ => None }
 
-  /** Date term: RFC-3339 text normalized to UTC whole seconds
-    * (`DateTimePrecision::Seconds`, the reference default) rendered
-    * fixed-width `uuuu-MM-ddTHH:mm:ssZ` — lexicographic == chronological.
+  /** Date term: RFC-3339 text normalized to UTC, truncated to the field's
+    * `DatePrecision` (`src/schema/date_time_options.rs`: Seconds — the
+    * reference default — Milliseconds, or Microseconds), rendered
+    * fixed-width so lexicographic == chronological WITHIN a precision:
+    * seconds `uuuu-MM-ddTHH:mm:ssZ`, millis `...ss.SSSZ`, micros
+    * `...ss.SSSSSSZ`. Sub-precision digits are truncated (not rounded),
+    * like the reference's `truncate(precision)`.
     */
-  def canonicalDate(s: String): Option[String] =
+  def canonicalDate(s: String, precision: String = "seconds"): Option[String] = {
+    val (unit, pattern) = precision match {
+      case "seconds" => (java.time.temporal.ChronoUnit.SECONDS,
+        "uuuu-MM-dd'T'HH:mm:ss'Z'")
+      case "millis" => (java.time.temporal.ChronoUnit.MILLIS,
+        "uuuu-MM-dd'T'HH:mm:ss.SSS'Z'")
+      case "micros" => (java.time.temporal.ChronoUnit.MICROS,
+        "uuuu-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      case other => throw new IllegalArgumentException(s"unknown DatePrecision: $other")
+    }
     try {
       val odt = java.time.OffsetDateTime.parse(s.trim)
       Some(odt.withOffsetSameInstant(java.time.ZoneOffset.UTC)
-        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
-        .format(java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss'Z'")))
+        .truncatedTo(unit)
+        .format(java.time.format.DateTimeFormatter.ofPattern(pattern)))
     } catch { case _: java.time.format.DateTimeParseException => None }
+  }
 
   /** Bytes term: the hex rendering of the value, canonicalized to lowercase
     * (hex is order-preserving under bytewise comparison, unlike base64).

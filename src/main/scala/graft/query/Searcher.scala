@@ -306,6 +306,12 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       // terms; a doc matches when the per-slot position UNIONS satisfy the
       // phrase offsets. Expansions are computed distributed; only the
       // (small) matched sets are collected to build the slot map.
+      // SCORED like the reference (`regex_phrase_weight.rs` wraps the slot
+      // unions in a scoring PhraseScorer): tf = the union phrase count, and
+      // the Bm25 weight comes from `Bm25Weight::for_terms` over the raw
+      // PATTERN STRINGS as terms (`regex_phrase_query.rs:107-111,144-149`)
+      // — their doc_freq is 0 unless a pattern is literally a dictionary
+      // term, so idf = idf(0, N) per slot.
       require(indexMeta.forall(_.withPositions),
         s"regex-phrase query needs positions, but the index at $indexDir was built with withPositions=false")
       val slotTerms: Seq[Seq[String]] = rp.terms.map { case (_, pat) =>
@@ -313,7 +319,11 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         allTermsFor(fld).where(regexp_like($"term", lit(Searcher.anchored(pat))))
           .orderBy($"term").limit(rp.maxExpansions).as[String].collect().toSeq
       }
-      slotPhraseDocs(slotTerms, rp.terms.map(_._1).toArray, rp.slop, fld)
+      val patDfs = docFreqs(rp.terms.map(_._2), fld)
+      val rpWeight = Bm25.forTerms(rp.terms.map(t => patDfs.getOrElse(t._2, 0L)),
+        fieldStats(fld)._2, avgFieldnormFor(fld))
+      slotPhraseDocs(slotTerms, rp.terms.map(_._1).toArray, rp.slop, fld,
+        weight = Some(rpWeight))
     case pp: PhrasePrefixQ =>
       // expand the prefix against the term dictionary in ascending term
       // order, capped at maxExpansions (`phrase_prefix_query.rs`), then run
@@ -321,15 +331,37 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       // expansion list, every fixed slot is a singleton — a single pruned
       // postings scan + one shuffle, instead of a maxExpansions-way union
       // of per-expansion join pipelines (Catalyst planning alone dominated
-      // that shape). Doc-set (const score) semantics, like RegexPhraseQ.
+      // that shape).
+      // Scoring matches the reference exactly (`phrase_prefix_scorer.rs:
+      // 84-93`): with ONE fixed term the SinglePrefix scorer returns const
+      // 1.0; with >= 2 fixed terms the MultiPrefix PhraseScorer scores
+      // BM25 with tf = the FIXED-terms phrase count (the prefix only gates
+      // matching) and weight = `Bm25Weight::for_terms` over the fixed terms
+      // (`phrase_prefix_query.rs:77-83,113-115` — phrase_terms() excludes
+      // the prefix term).
       val expansions = allTermsFor(fld)
         .where($"term".startsWith(pp.prefix._2))
         .orderBy($"term").limit(pp.maxExpansions).as[String].collect()
       if (expansions.isEmpty) spark.emptyDataset[ScoredDoc]
-      else {
+      else if (pp.terms.length <= 1) {
+        // 0 fixed terms = the parser's bare `term*` (reference falls back
+        // to a const-score range weight); 1 fixed term = the SinglePrefix
+        // scorer, whose score is const 1.0 (`phrase_prefix_scorer.rs:84-88`)
         val slots = pp.terms.map(t => Seq(t._2)) :+ expansions.toSeq
         val offsets = (pp.terms.map(_._1) :+ pp.prefix._1).toArray
         slotPhraseDocs(slots, offsets, slop = 0, fld)
+      } else {
+        val fixedTerms = pp.terms.map(_._2)
+        val dfs = docFreqs(fixedTerms.distinct, fld)
+        if (fixedTerms.distinct.exists(t => !dfs.contains(t)))
+          spark.emptyDataset[ScoredDoc]
+        else {
+          val ppWeight = Bm25.forTerms(fixedTerms.map(dfs),
+            fieldStats(fld)._2, avgFieldnormFor(fld))
+          slotPhraseDocs(pp.terms.map(t => Seq(t._2)), pp.terms.map(_._1).toArray,
+            slop = 0, fld, weight = Some(ppWeight),
+            prefix = Some((pp.prefix._1, expansions.toSeq)))
+        }
       }
     case b: BoolQ => compileBool(b, fld)
   }
@@ -337,16 +369,86 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
   /** Shared executor for phrase queries whose slots are TERM SETS (regex
     * phrase, phrase prefix): one pruned postings scan over all matched
     * terms, one (segId, docId) shuffle, per-slot position unions merged and
-    * fed to the phrase matcher. Doc-set (const score 1.0) semantics.
+    * fed to the phrase matcher.
+    *
+    * With `weight` set, scores BM25 with tf = the slot-phrase count
+    * (`phrase_scorer.rs:551-556` over union postings); otherwise const 1.0.
+    * With `prefix` set (phrase-prefix MultiPrefix shape,
+    * `phrase_prefix_scorer.rs:159-176`), a doc additionally needs some
+    * phrase start `base` whose prefix position `base + prefixOffset` is
+    * held by an expansion term — the prefix gates matching but does NOT
+    * contribute to the scored count.
     */
   private def slotPhraseDocs(slotTerms: Seq[Seq[String]], offsets: Array[Int],
-                             slop: Int, fld: String): Dataset[ScoredDoc] = {
-    if (slotTerms.exists(_.isEmpty)) return spark.emptyDataset[ScoredDoc]
+                             slop: Int, fld: String,
+                             weight: Option[Bm25.Weight] = None,
+                             prefix: Option[(Int, Seq[String])] = None): Dataset[ScoredDoc] = {
+    if (slotTerms.exists(_.isEmpty) || prefix.exists(_._2.isEmpty))
+      return spark.emptyDataset[ScoredDoc]
     val nSlots = offsets.length
-    // term -> slots it can fill (a term may match several slots)
-    val termSlots: Map[String, Seq[Int]] = slotTerms.zipWithIndex
-      .flatMap { case (ts, i) => ts.map(t => (t, i)) }
+    // term -> slots it can fill (a term may match several slots); the
+    // prefix expansion set, when present, is slot index nSlots
+    val termSlots: Map[String, Seq[Int]] = (slotTerms.zipWithIndex
+      .flatMap { case (ts, i) => ts.map(t => (t, i)) } ++
+      prefix.toSeq.flatMap { case (_, ts) => ts.map(t => (t, nSlots)) })
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val prefixOff = prefix.map(_._1).getOrElse(-1)
+    val nBuckets = if (prefix.isDefined) nSlots + 1 else nSlots
+    val allMatched = termSlots.keys.toSeq.sorted
+    val rows = postings
+      .where($"field" === fld && $"term".isin(allMatched: _*))
+      .select($"segId", $"term",
+        explode(arrays_zip($"docIds", $"normIds", $"positions")).as("p"))
+      .select($"segId", $"term", $"p.docIds".as("docId"),
+        $"p.normIds".as("normId"), $"p.positions".as("positions"))
+      .as[(Int, String, Int, Int, Array[Int])]
+    rows.groupByKey(r => (r._1, r._3)).flatMapGroups { (key, it) =>
+      // per-slot union of matching terms' positions, merged sorted
+      val bySlot = Array.fill(nBuckets)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      var normId = 0
+      it.foreach { case (_, term, _, nid, pos) =>
+        normId = nid
+        termSlots.getOrElse(term, Seq.empty).foreach(i => bySlot(i) ++= pos)
+      }
+      if (bySlot.exists(_.isEmpty)) Iterator.empty
+      else {
+        val arrays = bySlot.map(_.distinct.sorted.toArray)
+        val phraseArrays = arrays.take(nSlots)
+        if (prefix.isDefined) {
+          val (count, extended) = PhraseMatcher.prefixGatedCount(
+            offsets, phraseArrays, prefixOff, arrays(nSlots))
+          if (!extended) Iterator.empty
+          else Iterator.single(ScoredDoc(key._1, key._2,
+            weight.map(_.score(normId, count.toLong)).getOrElse(1.0f)))
+        } else {
+          val count = PhraseMatcher.phraseCount(offsets, phraseArrays, slop)
+          if (count > 0)
+            Iterator.single(ScoredDoc(key._1, key._2,
+              weight.map(_.score(normId, count.toLong)).getOrElse(1.0f)))
+          else Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** Per-doc slot-union phrase counts, unscored — the building block the
+    * F64 oracle twins share with the f32 path: (segId, docId, cnt) for docs
+    * whose slot unions satisfy the phrase (and, when `prefix` is set, whose
+    * match extends with a prefix expansion; cnt is then the FIXED-phrase
+    * count, `phrase_prefix_scorer.rs:159-176`).
+    */
+  def slotPhraseCounts(slotTerms: Seq[Seq[String]], offsets: Array[Int],
+                       slop: Int, prefix: Option[(Int, Seq[String])] = None,
+                       fld: String = field): DataFrame = {
+    if (slotTerms.exists(_.isEmpty) || prefix.exists(_._2.isEmpty))
+      return Seq.empty[(Int, Int, Int)].toDF("segId", "docId", "cnt")
+    val nSlots = offsets.length
+    val termSlots: Map[String, Seq[Int]] = (slotTerms.zipWithIndex
+      .flatMap { case (ts, i) => ts.map(t => (t, i)) } ++
+      prefix.toSeq.flatMap { case (_, ts) => ts.map(t => (t, nSlots)) })
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val prefixOff = prefix.map(_._1).getOrElse(-1)
+    val nBuckets = if (prefix.isDefined) nSlots + 1 else nSlots
     val allMatched = termSlots.keys.toSeq.sorted
     val rows = postings
       .where($"field" === fld && $"term".isin(allMatched: _*))
@@ -354,20 +456,38 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       .select($"segId", $"term", $"p.docIds".as("docId"), $"p.positions".as("positions"))
       .as[(Int, String, Int, Array[Int])]
     rows.groupByKey(r => (r._1, r._3)).flatMapGroups { (key, it) =>
-      // per-slot union of matching terms' positions, merged sorted
-      val bySlot = Array.fill(nSlots)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      val bySlot = Array.fill(nBuckets)(scala.collection.mutable.ArrayBuffer.empty[Int])
       it.foreach { case (_, term, _, pos) =>
         termSlots.getOrElse(term, Seq.empty).foreach(i => bySlot(i) ++= pos)
       }
       if (bySlot.exists(_.isEmpty)) Iterator.empty
       else {
         val arrays = bySlot.map(_.distinct.sorted.toArray)
-        val count = PhraseMatcher.phraseCount(offsets, arrays, slop)
-        if (count > 0) Iterator.single(ScoredDoc(key._1, key._2, 1.0f))
-        else Iterator.empty
+        if (prefix.isDefined) {
+          val (count, extended) = PhraseMatcher.prefixGatedCount(
+            offsets, arrays.take(nSlots), prefixOff, arrays(nSlots))
+          if (extended) Iterator.single((key._1, key._2, count)) else Iterator.empty
+        } else {
+          val count = PhraseMatcher.phraseCount(offsets, arrays.take(nSlots), slop)
+          if (count > 0) Iterator.single((key._1, key._2, count)) else Iterator.empty
+        }
       }
-    }
+    }.toDF("segId", "docId", "cnt")
   }
+
+  /** Prefix expansions from the term dictionary, ascending, capped
+    * (`phrase_prefix_query.rs` + `prefix_end`).
+    */
+  def prefixExpansions(prefix: String, maxExpansions: Int, fld: String = field): Seq[String] =
+    allTermsFor(fld).where($"term".startsWith(prefix))
+      .orderBy($"term").limit(maxExpansions).as[String].collect().toSeq
+
+  /** Regex expansions from the term dictionary, ascending, capped
+    * (`regex_phrase_weight.rs` expansion walk).
+    */
+  def regexExpansions(pattern: String, maxExpansions: Int, fld: String = field): Seq[String] =
+    allTermsFor(fld).where(regexp_like($"term", lit(Searcher.anchored(pattern))))
+      .orderBy($"term").limit(maxExpansions).as[String].collect().toSeq
 
   /** Boolean combination (`boolean_weight.rs:101-257`): doc matches iff all
     * Musts match, no MustNot matches, and — when there is no Must — at least
@@ -651,6 +771,37 @@ object PhraseMatcher {
   def phraseCount(offsets: Array[Int], positions: Array[Array[Int]], slop: Int): Int =
     phraseCountCsr(offsets, positions, new Array[Int](positions.length),
       positions.map(_.length), slop)
+
+  /** Phrase-prefix (MultiPrefix) matching (`phrase_prefix_scorer.rs:
+    * 159-176`): returns (fixed-phrase count, prefix-extended?). The count is
+    * the FIXED phrase's occurrence count (the tf the reference feeds to
+    * BM25); `extended` is true iff some phrase start `base` has a prefix
+    * position at `base + prefixOff` — the matches_prefix gate. Slop 0 only
+    * (the reference's phrase-prefix has no slop).
+    */
+  def prefixGatedCount(offsets: Array[Int], positions: Array[Array[Int]],
+                       prefixOff: Int, prefixPos: Array[Int]): (Int, Boolean) = {
+    val first = positions(0)
+    var count = 0
+    var extended = false
+    var fi = 0
+    while (fi < first.length) {
+      val base = first(fi) - offsets(0)
+      var ok = true; var i = 1
+      while (ok && i < offsets.length) {
+        ok = java.util.Arrays.binarySearch(positions(i), base + offsets(i)) >= 0
+        i += 1
+      }
+      if (ok) {
+        count += 1
+        if (!extended &&
+            java.util.Arrays.binarySearch(prefixPos, base + prefixOff) >= 0)
+          extended = true
+      }
+      fi += 1
+    }
+    (count, extended)
+  }
 
   /** CSR variant: term i's positions are `flats(i)(starts(i) until ends(i))`.
     * Lets the per-segment phrase executor score each leapfrog match without

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.FieldNorm
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query._
+import graft.score.Bm25
+
+/** Reference-scored PhrasePrefixQuery / RegexPhraseQuery semantics
+  * (`phrase_prefix_scorer.rs:84-93`, `regex_phrase_weight.rs`):
+  *  - phrase-prefix with >= 2 fixed terms scores BM25 with tf = the FIXED
+  *    phrase count, weight from the fixed terms' dfs; the prefix expansion
+  *    only gates matching;
+  *  - phrase-prefix with 1 fixed term is const-score 1.0 (SinglePrefix);
+  *  - regex phrase scores tf = slot-union phrase count with weight from
+  *    the raw pattern strings' dfs (0 unless a pattern IS a term).
+  */
+class ScoredSlotPhraseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // (path, content); single segment so DocAddress is just docId order
+  private val docs = Seq(
+    ("0", "a b c a b d"), // fixed "a b" x2, prefix c extends at base 0
+    ("1", "a b d"),       // fixed "a b" but no c* at slot 2
+    ("2", "a b cat x"),   // "cat" extends the c-prefix; fixed count 1
+    ("3", "b c a"),       // no "a b"
+    ("4", "a c b x y z"))
+
+  private lazy val sr: Searcher = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scored-slot").toString
+    val df = docs.map { case (p, c) => ("r", p, "c0", "x", c) }
+      .toDF("repo", "path", "commit", "lang", "content")
+    IndexBuilder.build(spark, df, dir, IndexConfig(numSegments = 1))
+    new Searcher(spark, dir)
+  }
+
+  private def byPath(q: Query): Map[String, Float] =
+    sr.compile(q)
+      .join(sr.docmap.select($"segId", $"docId", $"path"), Seq("segId", "docId"))
+      .select($"path", $"score").as[(String, Float)].collect().toMap
+
+  private def normId(dl: Int): Int = FieldNorm.fieldnormToId(dl.toLong)
+
+  test("phrase-prefix with 2 fixed terms: BM25 of the fixed phrase, prefix-gated") {
+    val got = byPath(PhrasePrefixQ(Seq(0 -> "a", 1 -> "b"), prefix = (2, "c")))
+    // docs 0 and 2 match (prefix-extended); 1 has the phrase but no c*
+    assert(got.keySet == Set("0", "2"))
+    val dfs = sr.docFreqs(Seq("a", "b"))
+    val w = Bm25.forTerms(Seq(dfs("a"), dfs("b")), sr.totalNumDocs, sr.avgFieldnorm)
+    assert(got("0") == w.score(normId(6), 2L)) // "a b" occurs twice in doc 0
+    assert(got("2") == w.score(normId(4), 1L))
+  }
+
+  test("phrase-prefix with 1 fixed term stays const-score 1.0 (SinglePrefix)") {
+    val got = byPath(PhrasePrefixQ(Seq(0 -> "b"), prefix = (1, "c")))
+    // "b c*": doc 0 ("b c" at 1,2), doc 2 ("b cat" — the cat expansion),
+    // doc 3 ("b c" at 0,1); doc 4's "c b" is reversed
+    assert(got.keySet == Set("0", "2", "3"))
+    assert(got.values.toSet == Set(1.0f))
+  }
+
+  test("regex phrase: tf = union phrase count, weight from pattern-string dfs") {
+    // slot 0 pattern "a" IS a dictionary term -> df("a"); slot 1 "b.*" is
+    // not a term -> df 0 (idf(0, N))
+    val got = byPath(RegexPhraseQ(Seq(0 -> "a", 1 -> "b.*")))
+    // matches where some token 'a' is followed by a token matching b.*:
+    // doc 0 ("a b" twice), doc 1 ("a b"), doc 2 ("a b")
+    assert(got.keySet == Set("0", "1", "2"))
+    val dfs = sr.docFreqs(Seq("a"))
+    val w = Bm25.forTerms(Seq(dfs("a"), 0L), sr.totalNumDocs, sr.avgFieldnorm)
+    assert(got("0") == w.score(normId(6), 2L))
+    assert(got("1") == w.score(normId(3), 1L))
+    assert(got("2") == w.score(normId(4), 1L))
+  }
+
+  test("f64 twins agree with the f32 path on doc sets and ~1e-6 on scores") {
+    val f32pp = byPath(PhrasePrefixQ(Seq(0 -> "a", 1 -> "b"), prefix = (2, "c")))
+    val f64pp = Engine.phrasePrefixScoredF64(sr, Seq(0 -> "a", 1 -> "b"), (2, "c"))
+      .as[(Long, Double)].collect().toMap
+    assert(f64pp.keySet.map(_.toString) == f32pp.keySet)
+    // the f64 twin uses EXACT dl (not the quantized fieldnorm): same value
+    // here because dl <= 23 quantizes losslessly... dl 6/4 exact, so only
+    // f32-vs-f64 rounding differs
+    f64pp.foreach { case (id, s64) =>
+      assert(math.abs(s64 - f32pp(id.toString)) < 1e-5, s"doc $id: $s64 vs ${f32pp(id.toString)}")
+    }
+    val f32rp = byPath(RegexPhraseQ(Seq(0 -> "a", 1 -> "b.*")))
+    val f64rp = Engine.regexPhraseScoredF64(sr, Seq(0 -> "a", 1 -> "b.*"))
+      .as[(Long, Double)].collect().toMap
+    assert(f64rp.keySet.map(_.toString) == f32rp.keySet)
+    f64rp.foreach { case (id, s64) =>
+      assert(math.abs(s64 - f32rp(id.toString)) < 1e-5, s"doc $id: $s64 vs ${f32rp(id.toString)}")
+    }
+  }
+}

@@ -74,6 +74,39 @@ Survey in 2016, 2017, and 2018."""
     assert(Snippet.collapseOverlappedRanges(Seq((0, 3), (1, 2))) == Seq((0, 3)))
   }
 
+  test("collapse_overlapped_ranges: remaining reference vectors (mod.rs:838-905)") {
+    // test_no_overlap / test_adjacent_ranges
+    assert(Snippet.collapseOverlappedRanges(Seq((0, 1), (2, 3), (4, 5)))
+      == Seq((0, 1), (2, 3), (4, 5)))
+    assert(Snippet.collapseOverlappedRanges(Seq((0, 1), (1, 2), (2, 3)))
+      == Seq((0, 1), (1, 2), (2, 3)))
+    // test_overlapping_ranges / test_contained_ranges
+    assert(Snippet.collapseOverlappedRanges(Seq((0, 2), (1, 3), (2, 4))) == Seq((0, 4)))
+    assert(Snippet.collapseOverlappedRanges(Seq((0, 5), (1, 2), (3, 4))) == Seq((0, 5)))
+    // test_duplicate_ranges / test_unsorted_ranges
+    assert(Snippet.collapseOverlappedRanges(Seq((0, 2), (2, 4), (0, 2), (2, 4)))
+      == Seq((0, 2), (2, 4)))
+    assert(Snippet.collapseOverlappedRanges(Seq((2, 4), (0, 2), (1, 3))) == Seq((0, 4)))
+    // test_complex_scenario
+    assert(Snippet.collapseOverlappedRanges(
+      Seq((0, 2), (5, 7), (1, 3), (8, 9), (2, 4), (3, 6), (8, 10)))
+      == Seq((0, 7), (8, 10)))
+    // test_empty_input / test_single_range / test_zero_length_ranges
+    assert(Snippet.collapseOverlappedRanges(Nil) == Nil)
+    assert(Snippet.collapseOverlappedRanges(Seq((0, 5))) == Seq((0, 5)))
+    assert(Snippet.collapseOverlappedRanges(Seq((0, 0), (1, 1), (2, 2), (3, 3)))
+      == Seq((0, 0), (1, 1), (2, 2), (3, 3)))
+  }
+
+  test("test_snippet_generator_custom_highlighted_elements (mod.rs:812-830)") {
+    val s = gen(Map("rust" -> 1.0f, "language" -> 0.9f), 100).snippet(TestText)
+    assert(s.toHtml ==
+      "<b>Rust</b> is a systems programming <b>language</b> sponsored by\nMozilla which describes it as a &quot;safe")
+    val custom = s.copy(prefix = "<q class=\"super\">", postfix = "</q>")
+    assert(custom.toHtml ==
+      "<q class=\"super\">Rust</q> is a systems programming <q class=\"super\">language</q> sponsored by\nMozilla which describes it as a &quot;safe")
+  }
+
   test("generator from a query: term weights are 1/(1+df)") {
     val spark = SparkTestBase.spark
     import spark.implicits._
