@@ -274,18 +274,28 @@ object Bench {
       "q_phrase" -> (() => { sr.topDocs(PhraseQ.of("batch", "batch"), 10); () }),
       "q_count" -> (() => { sr.count(TermQ("join")); () })
     )
-    // timed runs: round-robin repetitions, collect all latencies
-    val reps = 9
+    // timed runs: INTERLEAVED repetitions (rep-major, not query-major) so a
+    // host noise burst degrades one rep of every query instead of every rep
+    // of one query — the r02 driver window recorded q_term_wand +55% while
+    // the pooled 60-query set improved 30%, the signature of a burst landing
+    // on one query's contiguous rep block. Per-query median of 11.
+    val reps = 11
     val perQuery = scala.collection.mutable.Map.empty[String, Double]
     val all = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val samples = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Double]]
     querySet.foreach { case (name, fn) =>
       fn() // warmup (plan compilation, stats collection)
-      val times = (0 until reps).map { _ =>
-        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e6
-      }
-      val sorted = times.sorted
+      samples(name) = scala.collection.mutable.ArrayBuffer.empty[Double]
+    }
+    for (_ <- 0 until reps; (name, fn) <- querySet) {
+      val t0 = System.nanoTime(); fn()
+      samples(name) += (System.nanoTime() - t0) / 1e6
+    }
+    querySet.foreach { case (name, _) =>
+      val sorted = samples(name).sorted
       perQuery(name) = sorted(sorted.length / 2) / 1000.0 // median, seconds
-      all ++= times
+      all ++= sorted
       log(f"$name: p50 ${sorted(sorted.length / 2)}%.0f ms")
     }
     val sortedAll = all.sorted
@@ -318,12 +328,36 @@ object Bench {
     val qsP50 = qsLat(qsLat.length / 2)
     val qsP95 = qsLat((qsLat.length * 95) / 100 min (qsLat.length - 1))
     log(f"query set (${entries.length} queries x 3): p50 $qsP50%.0f ms, p95 $qsP95%.0f ms")
+
+    // ---- phase D: ANN recall@20 vs the exact baseline, machine-readable
+    // (the BENCH.md recall tables' source numbers, emitted in the JSON)
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    val (lshRecall, ivfRecall, ivfFracScanned) = {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .as[Array[Float]].head().map(_.toDouble)
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("vec_id").as[Long].collect().toSet
+      val exact = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 20))
+      val lsh = ids(Similarity.lshTopK(emb, "vec_id", "embedding", qv, 20))
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16, 2)
+      val ivf = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", cents, qv, 20, 4))
+      val probes = Similarity.ivfProbes(cents, qv, 4)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents).cache()
+      val frac = assigned.where(col("cid").isin(probes: _*)).count().toDouble /
+        math.max(assigned.count(), 1L)
+      emb.unpersist(); assigned.unpersist()
+      (lsh.intersect(exact).size / 20.0, ivf.intersect(exact).size / 20.0, frac)
+    }
+    log(f"ANN recall@20: lsh $lshRecall%.2f, ivf $ivfRecall%.2f (scanned ${ivfFracScanned * 100}%.1f%%)")
     spark.stop()
 
     val total = perQuery.values.sum
     val qjson = perQuery.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"headline query set (sec) + build scaling","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus_low":$cpusLo,"cpus_high":$cpusHi,"scaling_protocol":"${if (childMode) s"local-cluster[N,1core,4g] x {$cpusLo,$cpusHi} executor JVMs via spark-submit" else s"local[N] threads, shared JVM"}","build_files_per_sec_n":$fpsLo%.1f,"build_files_per_sec_4n":$fpsHi%.1f,"scaling_efficiency":$efficiency%.3f,"p50_query_ms":$p50%.1f,"p95_query_ms":$p95%.1f,"qs_p50_ms":$qsP50%.1f,"qs_p95_ms":$qsP95%.1f,"qs_n":${entries.length},"qs_docs":$qsDocs,"bench_docs":$nDocs}""")
+      f"""{"metric":"headline query set (sec) + build scaling","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus_low":$cpusLo,"cpus_high":$cpusHi,"scaling_protocol":"${if (childMode) s"local-cluster[N,1core,4g] x {$cpusLo,$cpusHi} executor JVMs via spark-submit" else s"local[N] threads, shared JVM"}","build_files_per_sec_n":$fpsLo%.1f,"build_files_per_sec_4n":$fpsHi%.1f,"scaling_efficiency":$efficiency%.3f,"p50_query_ms":$p50%.1f,"p95_query_ms":$p95%.1f,"qs_p50_ms":$qsP50%.1f,"qs_p95_ms":$qsP95%.1f,"qs_n":${entries.length},"qs_docs":$qsDocs,"bench_docs":$nDocs,"ann_lsh_recall_at_20":$lshRecall%.2f,"ann_ivf_recall_at_20":$ivfRecall%.2f,"ann_ivf_frac_scanned":$ivfFracScanned%.3f}""")
   }
 }

@@ -25,6 +25,12 @@ import graft.score.Bm25
   */
 object Merger {
 
+  /** docId-bucket width (log2) for the compaction remap's range-partitioned
+    * rank — each rank-window task handles at most 2^bits rows. Test-visible
+    * so MergeSpec can force multi-bucket ranking on tiny segments.
+    */
+  private[graft] var remapBucketBits: Int = 20
+
   /** `LogMergePolicy` defaults (`log_merge_policy.rs:8-15`). */
   final case class LogMergePolicy(
       minNumSegments: Int = 8,
@@ -153,20 +159,41 @@ object Merger {
         // No unpartitioned window, no per-term whole-list task.
         val alive = docmapSrc.join(dead, Seq("segId", "docId"), "left_anti").cache()
 
-        val aliveCounts: Map[Int, Long] = alive.groupBy($"segId").count()
-          .as[(Int, Long)].collect().toMap
+        // RANGE-PARTITIONED alive rank: docIds are dense [0, maxDoc), so a
+        // fixed-width docId bucket splits each source segment's rank window
+        // into bounded tasks (<= 2^20 rows each) — per-(segment, bucket)
+        // counts are a tiny driver aggregate whose prefix sums give each
+        // bucket's absolute start; no task ever ranks a whole MAX_DOC-scale
+        // segment's docmap (the alternative — one row_number window per
+        // segment — is a single 2^31-row task at the reference's segment cap).
+        val bucketBits = remapBucketBits
+        val bucketed = alive.select($"segId".as("srcSegId"), $"docId".as("srcDocId"))
+          .withColumn("bkt", shiftright($"srcDocId", bucketBits))
+        val bktCounts: Array[(Int, Int, Long)] = bucketed
+          .groupBy($"srcSegId", $"bkt").count()
+          .as[(Int, Int, Long)].collect()
+        val aliveCounts: Map[Int, Long] =
+          bktCounts.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._3).sum }
         val aliveOffsets: Map[Int, Long] = {
           var acc = 0L
           sources.map { s =>
             val o = s -> acc; acc += aliveCounts.getOrElse(s, 0L); o
           }.toMap
         }
-        val aliveOffsetU = udf((segId: Int) => aliveOffsets(segId))
+        val bktStart: Map[(Int, Int), Long] = bktCounts.groupBy(_._1)
+          .flatMap { case (s, rows) =>
+            var acc = aliveOffsets(s)
+            rows.sortBy(_._2).map { case (_, b, c) =>
+              val st = ((s, b), acc); acc += c; st
+            }
+          }
+        val bktStartU = udf((s: Int, b: Int) => bktStart((s, b)))
 
-        val rankSegW = Window.partitionBy($"srcSegId").orderBy($"srcDocId")
-        val remap = alive.select($"segId".as("srcSegId"), $"docId".as("srcDocId"))
+        val rankBktW = Window.partitionBy($"srcSegId", $"bkt").orderBy($"srcDocId")
+        val remap = bucketed
           .withColumn("newDocId",
-            (aliveOffsetU($"srcSegId") + row_number().over(rankSegW) - 1).cast("int"))
+            (bktStartU($"srcSegId", $"bkt") + row_number().over(rankBktW) - 1).cast("int"))
+          .drop("bkt")
           .cache()
 
         val dm = alive

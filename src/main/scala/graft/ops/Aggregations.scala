@@ -75,14 +75,35 @@ object Aggregations {
     */
   def esRanges(ranges: Seq[(Option[Double], Option[Double])])
       : Seq[(String, Option[Double], Option[Double])] = {
+    require(ranges.nonEmpty, "range aggregation requires at least one range")
     def fmt(d: Double): String =
       if (d == math.floor(d) && !d.isInfinite) d.toLong.toString else d.toString
     def key(f: Option[Double], t: Option[Double]): String =
       s"${f.map(fmt).getOrElse("*")}-${t.map(fmt).getOrElse("*")}"
-    val lo = ranges.flatMap(_._1).reduceOption((a, b) => math.min(a, b))
-    val hi = ranges.flatMap(_._2).reduceOption((a, b) => math.max(a, b))
-    val full = (Option.empty[Double], lo) +: ranges :+ (hi, Option.empty[Double])
-    full.map { case (f, t) => (key(f, t), f, t) }
+    def lo(r: (Option[Double], Option[Double])): Double =
+      r._1.getOrElse(Double.NegativeInfinity)
+    def hi(r: (Option[Double], Option[Double])): Double =
+      r._2.getOrElse(Double.PositiveInfinity)
+    // `extend_validate_ranges` (bucket/range.rs:402-444): sort by start,
+    // add an edge bucket only when the corresponding side is not already
+    // open, reject overlaps, and fill interior holes with synthetic buckets
+    val sorted = ranges.sortBy(lo)
+    val withLead =
+      if (sorted.head._1.isEmpty) sorted
+      else (Option.empty[Double], sorted.head._1) +: sorted
+    val withEdges =
+      if (withLead.last._2.isEmpty) withLead
+      else withLead :+ (withLead.last._2, Option.empty[Double])
+    val out = scala.collection.mutable.ArrayBuffer(withEdges.head)
+    withEdges.tail.foreach { r =>
+      val prev = out.last
+      if (hi(prev) > lo(r))
+        throw new IllegalArgumentException(
+          s"Overlapping ranges not supported: ${key(prev._1, prev._2)}, ${key(r._1, r._2)}")
+      if (hi(prev) < lo(r)) out += ((prev._2, r._1)) // hole bucket
+      out += r
+    }
+    out.toSeq.map { case (f, t) => (key(f, t), f, t) }
   }
 
   /** Standalone range aggregation with the reference's response semantics
@@ -104,7 +125,9 @@ object Aggregations {
     val axis = ranges.map(_._1).zipWithIndex
       .toDF(name, "__ord")
     axis.join(grouped, Seq(name), "left")
-      .na.fill(0L, Seq("cnt"))
+      // count-type metric sub-aggs zero-fill on empty buckets like the
+      // histogram gap-fill (ES reports doc-count metrics as 0, not NULL)
+      .na.fill(0L, "cnt" +: metrics.filter(_.isCount).map(_.name))
       .orderBy("__ord").drop("__ord")
   }
 

@@ -96,6 +96,35 @@ class AggParitySpec extends AnyFunSuite {
     }
   }
 
+  test("esRanges matches extend_validate_ranges (bucket/range.rs:402-444): " +
+      "no duplicate edges on open ranges, holes filled, overlaps rejected") {
+    // an open-start request must NOT get a second synthetic *-bucket
+    assert(esRanges(Seq((None, Some(3.0)), (Some(3.0), None)))
+      .map(_._1) == Seq("*-3", "3-*"))
+    // unsorted input sorts by `from`
+    assert(esRanges(Seq((Some(7.0), Some(20.0)), (Some(3.0), Some(7.0))))
+      .map(_._1) == Seq("*-3", "3-7", "7-20", "20-*"))
+    // interior hole -> synthetic bucket
+    assert(esRanges(Seq((Some(3.0), Some(7.0)), (Some(10.0), Some(20.0))))
+      .map(_._1) == Seq("*-3", "3-7", "7-10", "10-20", "20-*"))
+    // overlaps error like the reference
+    intercept[IllegalArgumentException] {
+      esRanges(Seq((Some(3.0), Some(8.0)), (Some(7.0), Some(20.0))))
+    }
+  }
+
+  test("rangeAgg zero-fills count-type metric sub-aggs on empty buckets") {
+    val ranges = Seq(("*-3", None, Some(3.0)), ("1000-1001", Some(1000.0), Some(1001.0)))
+    val out = Aggregations.rangeAgg(hits, "s_u64", ranges,
+      metrics = Seq(MetricAgg("sub_cnt", count(lit(1)), isCount = true),
+        MetricAgg("sub_avg", avg(col("s_u64")))))
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("*-3", "1000-1001"))
+    assert(out(1).getLong(1) == 0L)      // cnt
+    assert(out(1).getLong(2) == 0L)      // count-type metric zero-filled
+    assert(out(1).isNullAt(3))           // value metric stays NULL
+  }
+
   test("the f64 range twin buckets identically (agg_tests.rs rangef64)") {
     val ranges = esRanges(Seq(
       (Some(3.0), Some(7.0)), (Some(7.0), Some(20.0))))

@@ -148,6 +148,46 @@ class MergeSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("compaction remap is range-partitioned: forcing tiny (4-doc) rank " +
+      "buckets yields the identical compacted index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dirA = java.nio.file.Files.createTempDirectory("graft-merge-bkt").toString
+    val c = CorpusGen.corpus(spark, nDocs, seed = 31L, avgLines = 8).toDF().cache()
+    val metaA = IndexBuilder.build(spark, c, dirA, cfg)
+    val sr0 = new Searcher(spark, dirA)
+    val delTerm = sr0.termdict.groupBy($"term").agg(sum($"docFreq").as("df"))
+      .where($"df" > 5 && $"df" < nDocs / 2)
+      .orderBy(desc("df"), asc("term")).select($"term").as[String].head()
+    assert(index.Deletes.deleteByTerm(spark, dirA, delTerm) > 0)
+    val saved = Merger.remapBucketBits
+    try {
+      Merger.remapBucketBits = 2 // 4-doc buckets: every segment ranks in MANY window tasks
+      Merger.merge(spark, dirA, cfg, metaA.segments.map(_.segId), newSegId = 100)
+    } finally Merger.remapBucketBits = saved
+    val srA = new Searcher(spark, dirA)
+    assert(srA.count(TermQ(delTerm)) == 0)
+    // ground truth: rebuild over survivors; scored results must be identical
+    val hasTerm = udf((content: String) =>
+      graft.analysis.Analysis.defaultTerms(content).exists(_._1 == delTerm))
+    val dirB = java.nio.file.Files.createTempDirectory("graft-merge-bkt-ref").toString
+    IndexBuilder.build(spark, c.where(!hasTerm($"content")), dirB, cfg)
+    val srB = new Searcher(spark, dirB)
+    def scoredByPath(sr: Searcher, q: Query): Seq[(String, Float)] =
+      sr.compile(q)
+        .join(sr.docmap.select($"segId", $"docId", $"path"), Seq("segId", "docId"))
+        .select($"path", $"score").as[(String, Float)].collect().toSeq.sorted
+    val probe = srB.termdict.groupBy($"term").agg(sum($"docFreq").as("df"))
+      .orderBy(desc("df"), asc("term")).select($"term").as[String].head()
+    assert(scoredByPath(srA, TermQ(probe)) == scoredByPath(srB, TermQ(probe)))
+    assert(scoredByPath(srA, PhraseQ.of(probe, probe)) ==
+      scoredByPath(srB, PhraseQ.of(probe, probe)))
+    // docIds stay dense [0, n) in the compacted segment
+    val n = srA.totalNumDocs
+    val ids = srA.docmap.select($"docId").as[Int].collect().sorted
+    assert(ids.toSeq == (0 until n.toInt))
+  }
+
   test("merge carries ALL fields: extra-field queries and stats survive merge + compaction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
