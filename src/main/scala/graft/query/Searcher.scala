@@ -339,6 +339,8 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       // matching) and weight = `Bm25Weight::for_terms` over the fixed terms
       // (`phrase_prefix_query.rs:77-83,113-115` — phrase_terms() excludes
       // the prefix term).
+      require(indexMeta.forall(_.withPositions),
+        s"phrase-prefix query needs positions, but the index at $indexDir was built with withPositions=false")
       val expansions = allTermsFor(fld)
         .where($"term".startsWith(pp.prefix._2))
         .orderBy($"term").limit(pp.maxExpansions).as[String].collect()
