@@ -264,6 +264,34 @@ object Analysis {
   def defaultTerms(text: String): Seq[(String, Int)] =
     defaultAnalyze(text).map(t => (t.text, t.position))
 
+  /** `defaultAnalyze(text).length` without materializing any token: one
+    * pass counting alphanumeric runs whose UTF-8 byte length passes the
+    * RemoveLong filter (lowercasing never changes the count). The build's
+    * fieldnorm pass calls this per document — the substring/lowercase
+    * allocations of the full chain are pure garbage there. Lockstep with
+    * the chain by construction; AnalysisSpec fuzzes the equivalence.
+    */
+  def defaultTermCount(text: String): Int = {
+    var i = 0; var count = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (isAlphanumeric(cp)) {
+        var bytes = 0
+        var j = i
+        var continue = true
+        while (j < n && continue) {
+          val c = text.codePointAt(j)
+          if (isAlphanumeric(c)) { bytes += utf8Len(c); j += Character.charCount(c) }
+          else continue = false
+        }
+        if (bytes < DefaultRemoveLongLimit) count += 1
+        i = j
+      } else i += Character.charCount(cp)
+    }
+    count
+  }
+
   /** Multi-valued field analysis (`postings_writer.rs:136-160`): each value
     * runs through the chain, and the next value's positions continue from
     * `max(start + position_length) + POSITION_GAP` of the previous one

@@ -321,7 +321,7 @@ object IndexBuilder {
         // ceiling. (The reference pays the arena instead —
         // `segment_writer.rs:146-348`; Spark's equivalent currency is a
         // recompute.)
-        val tokenCountU = udf((c: String) => Analysis.defaultTerms(c).length.toLong)
+        val tokenCountU = udf((c: String) => Analysis.defaultTermCount(c).toLong)
 
         // docmap doubles as the docstore (`src/store/`): `content` is the
         // stored field, read only when hydrating hits / MoreLikeThis

@@ -9,6 +9,23 @@ import graft.score.Bm25
   */
 class AnalysisSpec extends AnyFunSuite {
 
+  test("defaultTermCount == defaultAnalyze().length (fuzz, 2000 cases)") {
+    val rng = new scala.util.Random(13)
+    val alphabet = "ab cC1!.é世́ \n\t" + // ascii, accents, CJK, combining
+      new String(Character.toChars(0x1F600)) // surrogate pair (emoji, non-alnum)
+    for (_ <- 1 to 2000) {
+      val len = rng.nextInt(120)
+      val s = new StringBuilder
+      (0 until len).foreach { _ =>
+        if (rng.nextInt(20) == 0) s.append("x" * (35 + rng.nextInt(10))) // straddle the 40-byte limit
+        else s.append(alphabet.charAt(rng.nextInt(alphabet.length)))
+      }
+      val text = s.toString
+      assert(Analysis.defaultTermCount(text) == Analysis.defaultAnalyze(text).length,
+        s"mismatch on: ${text.take(80)}")
+    }
+  }
+
   test("simple tokenizer golden vector (simple_tokenizer.rs:71-79)") {
     val toks = Analysis.simpleTokenize("Hello, happy tax payer!")
     assert(toks.map(_.text) == Seq("Hello", "happy", "tax", "payer"))
