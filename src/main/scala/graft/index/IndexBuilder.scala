@@ -130,21 +130,39 @@ object IndexBuilder {
       // fieldnorm byte from the doc's own (post-filter) token count —
       // computed here so the postings path carries it for free
       val normId = FieldNorm.fieldnormToId(terms.length.toLong)
-      val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
-      terms.foreach { case (t, p) =>
-        var buf = m.get(t)
-        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Int]; m.put(t, buf) }
-        buf += p
-      }
-      val it = m.entrySet().iterator()
-      new Iterator[DocTermRow] {
-        def hasNext: Boolean = it.hasNext
-        def next(): DocTermRow = {
-          val e = it.next()
-          val ps = e.getValue
-          DocTermRow(segId, docId, field, e.getKey,
-            if (record == "basic") 1 else ps.length, normId,
-            if (record == "position") ps.toArray else Array.emptyIntArray)
+      if (record == "position") {
+        val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+        terms.foreach { case (t, p) =>
+          var buf = m.get(t)
+          if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Int]; m.put(t, buf) }
+          buf += p
+        }
+        val it = m.entrySet().iterator()
+        new Iterator[DocTermRow] {
+          def hasNext: Boolean = it.hasNext
+          def next(): DocTermRow = {
+            val e = it.next()
+            val ps = e.getValue
+            DocTermRow(segId, docId, field, e.getKey, ps.length, normId, ps.toArray)
+          }
+        }
+      } else {
+        // basic/freq records never ship positions — count tfs without the
+        // per-term position buffers (the positions-off build's hot loop)
+        val m = new java.util.LinkedHashMap[String, Array[Int]]()
+        terms.foreach { case (t, _) =>
+          val c = m.get(t)
+          if (c == null) m.put(t, Array(1)) else c(0) += 1
+        }
+        val it = m.entrySet().iterator()
+        new Iterator[DocTermRow] {
+          def hasNext: Boolean = it.hasNext
+          def next(): DocTermRow = {
+            val e = it.next()
+            DocTermRow(segId, docId, field, e.getKey,
+              if (record == "basic") 1 else e.getValue()(0), normId,
+              Array.emptyIntArray)
+          }
         }
       }
     }
