@@ -60,6 +60,14 @@ object ExplainCheck {
       sr.compile(BoolQ(Seq(Occur.Must -> TermQ("spark"), Occur.Must -> TermQ("merge")))).toDF(),
       Seq.empty)
 
+    // 6. scored slot-phrase (phrase-prefix/regex-phrase executor): one
+    // pruned scan — the matched-term IN list and field equality must reach
+    // the Parquet scan before the single (segId, docId) shuffle
+    audit("slot-phrase counts scan",
+      sr.slotPhraseCounts(Seq(Seq("join"), Seq("row")), Array(0, 1), 0,
+        prefix = Some((2, sr.prefixExpansions("s", 50)))),
+      Seq("EqualTo(field,content)", "In(term, ["))
+
     spark.stop()
   }
 }

@@ -74,6 +74,60 @@ class ScoredSlotPhraseSpec extends AnyFunSuite {
     assert(got("2") == w.score(normId(4), 1L))
   }
 
+  // --- reference golden vectors (phrase_prefix_weight.rs:169-260 tests) ---
+  // Note the reference quirk: PhrasePrefixScorer::phrase_count() (used only
+  // by explain) counts prefix-EXTENDED occurrences, while score() delegates
+  // to the wrapped PhraseScorer whose tf is the FIXED-phrase count
+  // (phrase_prefix_scorer.rs:211-214 "TODO modify score??"). We replicate
+  // score()'s semantics; the vectors below pin doc sets + fixed counts.
+  private lazy val refSr: Searcher = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppref").toString
+    val texts = Seq(
+      ("0", "aa bb dd cc"),
+      ("1", "aa aa bb c dd aa bb cc aa bb dc"),
+      ("2", "aa bb cd")) // the reference's leading space tokenizes away
+    val df = texts.map { case (p, c) => ("r", p, "c0", "x", c) }
+      .toDF("repo", "path", "commit", "lang", "content")
+    IndexBuilder.build(spark, df, dir, IndexConfig(numSegments = 1))
+    new Searcher(spark, dir)
+  }
+
+  private def refByPath(q: Query): Map[String, Float] =
+    refSr.compile(q)
+      .join(refSr.docmap.select($"segId", $"docId", $"path"), Seq("segId", "docId"))
+      .select($"path", $"score").as[(String, Float)].collect().toMap
+
+  test("test_phrase_count_long (phrase_prefix_weight.rs:169-199): docs 1,2 " +
+      "match 'aa bb c*'; score tf = the FIXED count (3 and 1)") {
+    val got = refByPath(PhrasePrefixQ(Seq(0 -> "aa", 1 -> "bb"), prefix = (2, "c")))
+    assert(got.keySet == Set("1", "2"))
+    val dfs = refSr.docFreqs(Seq("aa", "bb"))
+    val w = Bm25.forTerms(Seq(dfs("aa"), dfs("bb")), refSr.totalNumDocs, refSr.avgFieldnorm)
+    // doc 1 "aa aa bb c dd aa bb cc aa bb dc": fixed "aa bb" at bases 1,5,8
+    // (count 3; only 2 extend with c*, which gates but does not score)
+    assert(got("1") == w.score(normId(11), 3L))
+    assert(got("2") == w.score(normId(3), 1L))
+  }
+
+  test("test_phrase_count_mid (:202-228): single fixed term 'aa b*' is the " +
+      "SinglePrefix shape — const 1.0, docs 1,2") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppref-mid").toString
+    val df = Seq(("0", "aa dd cc"), ("1", "aa aa bb c dd aa bb cc aa dc"), ("2", "aa bb cd"))
+      .map { case (p, c) => ("r", p, "c0", "x", c) }
+      .toDF("repo", "path", "commit", "lang", "content")
+    IndexBuilder.build(spark, df, dir, IndexConfig(numSegments = 1))
+    val sr2 = new Searcher(spark, dir)
+    val got = sr2.compile(PhrasePrefixQ(Seq(0 -> "aa"), prefix = (1, "b")))
+      .join(sr2.docmap.select($"segId", $"docId", $"path"), Seq("segId", "docId"))
+      .select($"path", $"score").as[(String, Float)].collect().toMap
+    assert(got == Map("1" -> 1.0f, "2" -> 1.0f))
+  }
+
+  test("test_phrase_no_match (:252-...): 'aa cc d*' matches nothing") {
+    val got = refByPath(PhrasePrefixQ(Seq(0 -> "aa", 1 -> "cc"), prefix = (2, "d")))
+    assert(got.isEmpty)
+  }
+
   test("f64 twins agree with the f32 path on doc sets and ~1e-6 on scores") {
     val f32pp = byPath(PhrasePrefixQ(Seq(0 -> "a", 1 -> "b"), prefix = (2, "c")))
     val f64pp = Engine.phrasePrefixScoredF64(sr, Seq(0 -> "a", 1 -> "b"), (2, "c"))
