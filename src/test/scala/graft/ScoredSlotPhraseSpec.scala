@@ -128,6 +128,53 @@ class ScoredSlotPhraseSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  // --- reference golden vectors (regex_phrase_weight.rs:355-420 tests) ---
+  private def buildTmp(texts: Seq[String]): Searcher = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rp").toString
+    val df = texts.zipWithIndex.map { case (c, i) => ("r", i.toString, "c0", "x", c) }
+      .toDF("repo", "path", "commit", "lang", "content")
+    IndexBuilder.build(spark, df, dir, IndexConfig(numSegments = 1))
+    new Searcher(spark, dir)
+  }
+
+  private def rpByPath(sr2: Searcher, q: Query): Map[String, Float] =
+    sr2.compile(q)
+      .join(sr2.docmap.select($"segId", $"docId", $"path"), Seq("segId", "docId"))
+      .select($"path", $"score").as[(String, Float)].collect().toMap
+
+  test("regex-phrase test_phrase_count (regex_phrase_weight.rs:355-381)") {
+    val sr2 = buildTmp(Seq("a c", "a a b d a b c", "a b"))
+    val got = rpByPath(sr2, RegexPhraseQ(Seq(0 -> "a", 1 -> "b")))
+    assert(got.keySet == Set("1", "2"))
+    // both patterns ARE dictionary terms here -> real dfs feed the weight
+    val dfs = sr2.docFreqs(Seq("a", "b"))
+    val w = Bm25.forTerms(Seq(dfs("a"), dfs("b")), sr2.totalNumDocs, sr2.avgFieldnorm)
+    assert(got("1") == w.score(normId(7), 2L)) // counts from the reference test
+    assert(got("2") == w.score(normId(2), 1L))
+  }
+
+  test("regex-phrase test_phrase_wildcard (:383-410): a.* expands, bac stays out") {
+    val sr2 = buildTmp(Seq("a c", "a aa b d ad b c", "ac b", "bac b"))
+    val got = rpByPath(sr2, RegexPhraseQ(Seq(0 -> "a.*", 1 -> "b")))
+    assert(got.keySet == Set("1", "2"))
+    // pattern "a.*" is NOT a term (df 0); "b" is (df 3)
+    val dfs = sr2.docFreqs(Seq("b"))
+    val w = Bm25.forTerms(Seq(0L, dfs("b")), sr2.totalNumDocs, sr2.avgFieldnorm)
+    assert(got("1") == w.score(normId(7), 2L))
+    assert(got("2") == w.score(normId(2), 1L))
+  }
+
+  test("regex-phrase test_phrase_regex (:412-...): b?a.* matches ba and bac") {
+    val sr2 = buildTmp(Seq("ba b", "a aa b d ad b c", "bac b"))
+    val got = rpByPath(sr2, RegexPhraseQ(Seq(0 -> "b?a.*", 1 -> "b")))
+    assert(got.keySet == Set("0", "1", "2"))
+    val dfs = sr2.docFreqs(Seq("b"))
+    val w = Bm25.forTerms(Seq(0L, dfs("b")), sr2.totalNumDocs, sr2.avgFieldnorm)
+    assert(got("0") == w.score(normId(2), 1L))
+    assert(got("1") == w.score(normId(7), 2L))
+    assert(got("2") == w.score(normId(2), 1L))
+  }
+
   test("f64 twins agree with the f32 path on doc sets and ~1e-6 on scores") {
     val f32pp = byPath(PhrasePrefixQ(Seq(0 -> "a", 1 -> "b"), prefix = (2, "c")))
     val f64pp = Engine.phrasePrefixScoredF64(sr, Seq(0 -> "a", 1 -> "b"), (2, "c"))
