@@ -129,6 +129,21 @@ object QueryParser {
             opts: Grammar.CompileOpts = Grammar.CompileOpts()): Query =
     Grammar.compile(Grammar.parseToAst(input),
       opts.copy(conjunctionByDefault = conjunctionByDefault))
+
+  /** `wildcard_query_to_regex_str` (`regex_phrase_query.rs:30-37`):
+    * `AB*CD` -> `AB.*CD`; every other regex metacharacter is escaped
+    * (the Rust side calls `regex::escape` then rewrites `\*`).
+    */
+  def wildcardToRegex(term: String): String = {
+    val meta = "\\.+*?()|[]{}^$#&-~"
+    val sb = new StringBuilder
+    term.foreach { c =>
+      if (c == '*') sb.append(".*")
+      else if (meta.indexOf(c.toInt) >= 0) sb.append('\\').append(c)
+      else sb.append(c)
+    }
+    sb.toString
+  }
 }
 
 /** Banded Levenshtein (distance <= 2) with optional Damerau transposition,

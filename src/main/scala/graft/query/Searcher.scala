@@ -736,6 +736,12 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
   def topDocsWand(terms: Seq[String], k: Int): Array[Hit] =
     Wand.topK(this, terms, k)
 
+  /** Per-segment/per-component space accounting
+    * (`space_usage/mod.rs` `Searcher::space_usage` analog).
+    */
+  def spaceUsage: graft.index.SpaceUsage.IndexUsage =
+    graft.index.SpaceUsage.of(spark, indexDir)
+
   /** Docstore hydration (`store/reader.rs:239 get`): fetch the stored
     * fields of the final top-k hits — a broadcast semi-join of the k
     * addresses against docmap, so only the hit rows' pages are read.

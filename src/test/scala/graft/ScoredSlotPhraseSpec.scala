@@ -175,6 +175,18 @@ class ScoredSlotPhraseSpec extends AnyFunSuite {
     assert(got("2") == w.score(normId(2), 1L))
   }
 
+  test("wildcardToRegex matches the reference helper (regex_phrase_query.rs:30-37)") {
+    assert(QueryParser.wildcardToRegex("AB*CD") == "AB.*CD")
+    assert(QueryParser.wildcardToRegex("a.b*") == "a\\.b.*")
+    assert(QueryParser.wildcardToRegex("x+y?") == "x\\+y\\?")
+    // and it composes with RegexPhraseQ like the reference's usage
+    val sr2 = buildTmp(Seq("a c", "a aa b d ad b c", "ac b", "bac b"))
+    val viaWildcard = rpByPath(sr2, RegexPhraseQ(Seq(
+      0 -> QueryParser.wildcardToRegex("a*"), 1 -> QueryParser.wildcardToRegex("b"))))
+    val viaRegex = rpByPath(sr2, RegexPhraseQ(Seq(0 -> "a.*", 1 -> "b")))
+    assert(viaWildcard == viaRegex)
+  }
+
   test("f64 twins agree with the f32 path on doc sets and ~1e-6 on scores") {
     val f32pp = byPath(PhrasePrefixQ(Seq(0 -> "a", 1 -> "b"), prefix = (2, "c")))
     val f64pp = Engine.phrasePrefixScoredF64(sr, Seq(0 -> "a", 1 -> "b"), (2, "c"))
