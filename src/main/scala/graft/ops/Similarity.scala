@@ -97,25 +97,31 @@ object Similarity {
       .limit(k)
   }
 
-  /** The query's own bucket plus all Hamming-1 neighbors. */
-  def probeBuckets(query: Array[Double]): Seq[Long] = {
+  /** The query's own bucket plus all neighbors within Hamming distance
+    * `radius` (the probe-radius knob: radius 0 = own bucket only, 1 =
+    * 1 + NumPlanes buckets — the default — 2 adds the C(NumPlanes, 2)
+    * two-bit flips, trading scan fraction for recall).
+    */
+  def probeBuckets(query: Array[Double], radius: Int = 1): Seq[Long] = {
     var s = 0L
     for (j <- 0 until NumPlanes) {
       val d = (0 until query.length)
         .map(i => query(i) * planeComponent(j, i)).sum
       if (d >= 0) s |= (1L << j)
     }
-    s +: (0 until NumPlanes).map(j => s ^ (1L << j))
+    (0L until (1L << NumPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= radius)
+      .map(m => s ^ m)
   }
 
-  /** ANN top-k: probe the query's bucket and all Hamming-1 neighbors, rank
-    * probed candidates by exact cosine. Recall < 1 by construction (that is
-    * the approximation); candidates scanned ~ (NumPlanes+1)/2^NumPlanes of
-    * the corpus.
+  /** ANN top-k: probe the query's bucket and all Hamming-<=radius
+    * neighbors, rank probed candidates by exact cosine. Recall < 1 by
+    * construction (that is the approximation); candidates scanned
+    * ~ Σ_{i<=radius} C(b, i) / 2^b of the corpus.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-              query: Array[Double], k: Int): DataFrame = {
-    val probes = probeBuckets(query)
+              query: Array[Double], k: Int, radius: Int = 1): DataFrame = {
+    val probes = probeBuckets(query, radius)
     val qn = math.sqrt(query.map(x => x * x).sum)
     val q = array(query.map(lit): _*)
     lshBuckets(df, idCol, vecCol)

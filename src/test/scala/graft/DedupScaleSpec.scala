@@ -72,5 +72,21 @@ class DedupScaleSpec extends AnyFunSuite {
     val plan = Similarity.lshTopKBucketed(spark, path, query, 20)
       .queryExecution.executedPlan.toString
     assert(plan.contains("bucket"), "expected a bucket partition filter in the scan")
+
+    // probe-radius knob: radius r probes Σ_{i<=r} C(8, i) buckets, each
+    // wider radius strictly widens the candidate set, and recall vs the
+    // exact baseline is monotone in the radius
+    assert(Similarity.probeBuckets(query, 0).length == 1)
+    assert(Similarity.probeBuckets(query, 1).length == 9)
+    assert(Similarity.probeBuckets(query, 2).length == 1 + 8 + 28)
+    assert(Similarity.probeBuckets(query, 1).toSet
+      .subsetOf(Similarity.probeBuckets(query, 2).toSet))
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val recalls = Seq(0, 1, 2).map { r =>
+      Similarity.lshTopK(df, "vec_id", "embedding", query, 20, radius = r)
+        .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+    }
+    assert(recalls == recalls.sorted, s"recall must be monotone in radius: $recalls")
   }
 }
