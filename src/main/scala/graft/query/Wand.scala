@@ -348,8 +348,6 @@ object Wand {
         .sortBy(h => (-h.score, h.segId, h.docId)).take(k)
     }
 
-    val wB = spark.sparkContext.broadcast(weights)
-
     // For high-df disjunctions, probe an initial threshold before shuffling:
     // τ = nextDown(k-th best score of the highest-max-score term alone, via
     // the zero-shuffle single-term path). A block of term t can only hold a
