@@ -634,6 +634,12 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 0.9)
         .orderBy("a", "b")),
+    // near-dup CLUSTERS: connected components over the verified pairs,
+    // cluster_id = the component's min doc_id (the canonical keep-id);
+    // distributed min-label propagation, convergence-checked
+    "dedup_cluster" -> ((s, dir) =>
+      Dedup.minhashClusters(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 0.9)
+        .orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1191,20 +1197,22 @@ object SparkEntry {
     "dedup_minhash_sig" -> (minhashSigSql +
       " SELECT doc_id, i AS perm, minh FROM sig ORDER BY doc_id, perm"),
     "dedup_minhash_pairs" ->
-      s"""$minhashSigSql,
-         |band AS (SELECT doc_id, i // ${Dedup.BandRows} AS band,
-         |  string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS key
-         |  FROM sig GROUP BY doc_id, i // ${Dedup.BandRows}),
-         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM band l
-         |  JOIN band r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
-         |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
-         |  JOIN toks ta ON ta.doc_id = c.a JOIN toks tb ON tb.doc_id = c.b AND ta.t = tb.t
-         |  GROUP BY c.a, c.b)
-         |SELECT a, b, jaccard FROM (
-         |  SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-         |  FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+      s"""$minhashPairsCtes
+         |SELECT a, b, jaccard FROM pj
          |WHERE jaccard >= 0.9e0 ORDER BY a, b""".stripMargin,
+    // connected components over the verified pairs by recursive closure:
+    // reach(n, r) spreads every doc's id along edges; min reachable id per
+    // node IS the component's canonical min (edges are symmetric), and
+    // docs in no pair keep themselves
+    "dedup_cluster" ->
+      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (SELECT a, b FROM pj WHERE jaccard >= 0.9e0),
+         |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p),
+         |reach AS (SELECT doc_id AS node, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.dst AS node, reach.r AS r FROM reach JOIN e ON e.src = reach.node)
+         |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tf AS (SELECT doc_id, t, count(*) AS tf FROM
          |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY doc_id, t),
@@ -1453,6 +1461,24 @@ object SparkEntry {
     """v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id)""".stripMargin
+
+  /** Shared CTE chain: MinHash-LSH candidate pairs with exact-Jaccard
+    * verification — ends with `pj(a, b, jaccard)` (mirror of
+    * Dedup.minhashPairs before the threshold cut).
+    */
+  private def minhashPairsCtes: String =
+    s"""$minhashSigSql,
+       |band AS (SELECT doc_id, i // ${Dedup.BandRows} AS band,
+       |  string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS key
+       |  FROM sig GROUP BY doc_id, i // ${Dedup.BandRows}),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM band l
+       |  JOIN band r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+       |  JOIN toks ta ON ta.doc_id = c.a JOIN toks tb ON tb.doc_id = c.b AND ta.t = tb.t
+       |  GROUP BY c.a, c.b),
+       |pj AS (SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+       |  FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)""".stripMargin
 
   /** Shared CTE text: MinHash signatures (mirror of Dedup.minhashSignatures). */
   private def minhashSigSql: String =

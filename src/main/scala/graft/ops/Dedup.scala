@@ -279,6 +279,58 @@ object Dedup {
       .select("a", "b", "cosine")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over an undirected pair
+    * table, labels = the component's minimum doc_id (the canonical "keep"
+    * representative a training pipeline retains). Docs in no pair are
+    * singleton clusters of themselves.
+    *
+    * Execution is distributed min-label propagation: each round joins the
+    * current labels across the edge table and takes the per-node minimum of
+    * (own, neighbors') labels; a driver-side count checks convergence.
+    * Rounds needed = the component diameter — near-dup components are
+    * LSH-verified cliques or near-cliques (diameter 1-2), so this
+    * converges in 2-3 rounds on real dedup graphs; `maxIter` bounds
+    * adversarial chains (for those, the large-star/small-star rewrite of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    * 2014, drops rounds to O(log n) — not needed at clique-like diameters).
+    * `localCheckpoint` cuts the loop's lineage so plans stay flat.
+    */
+  def connectedComponents(docs: DataFrame, idCol: String,
+                          pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().cache()
+    var labels = docs.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("nl")), Seq("src"))
+        .groupBy(col("dst").as("doc_id")).agg(min(col("nl")).as("nbl"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .where(col("cluster_id") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    edges.unpersist()
+    labels
+  }
+
+  /** The full near-dup clustering pipeline entry: MinHash-LSH pairs at
+    * `threshold` exact-Jaccard, clustered; output (doc_id, cluster_id).
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): DataFrame =
+    connectedComponents(df, idCol, minhashPairs(df, idCol, textCol, threshold))
+
   /** Exact (quadratic) variant for bounded inputs — the recall baseline the
     * bucketed path is measured against (DedupSpec).
     */
