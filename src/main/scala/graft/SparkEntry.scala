@@ -699,6 +699,13 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) =>
       TextOps.winnow(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         .orderBy("doc_id", "fp")),
+    // deterministic stratified sampling (language balancing): hash-based
+    // keep condition, reproducible and engine-replayable — the oracle
+    // checks the SAMPLE itself, not just its size
+    "text_sample_stratified" -> ((s, dir) =>
+      TextOps.stratifiedHashSample(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "lang", Map("en" -> 0.25, "fr" -> 0.5))
+        .select("doc_id", "lang").orderBy("doc_id")),
     "text_ngram" -> { (s, dir) =>
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
@@ -1368,6 +1375,14 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       s"SELECT doc_id, ${sqlCharHash("text")} AS fp FROM documents ORDER BY doc_id",
+    // Spark's (frac * P).cast(long) truncates; DuckDB CAST rounds — floor
+    // makes both sides truncate identically
+    "text_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (doc_id * 2654435761) % $P < CAST(floor(
+         |  (CASE WHEN lang = 'en' THEN 0.25e0 WHEN lang = 'fr' THEN 0.5e0
+         |   ELSE 1.0e0 END) * $P) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
     "text_winnow" ->
       s"""WITH g AS (SELECT doc_id, i, ${sqlCharHash("substr(text, CAST(i AS INTEGER), 8)")} AS h
          |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i

@@ -201,4 +201,35 @@ object TextOps {
     grams.select(col("doc_id"), min("h").over(win).as("fp"))
       .distinct()
   }
+
+  /** Deterministic hash sampling: keep a row iff
+    * `(doc_id * 2654435761) % P < fraction * P` — a pure map-side filter
+    * that is REPRODUCIBLE (same input -> same sample, resumable pipelines
+    * re-derive identical splits; Spark's `sample`/`sampleBy` RNG state is
+    * neither) and replayable by any engine, so the sample itself is
+    * oracle-checkable. The Knuth multiplicative hash spreads sequential
+    * ids uniformly over [0, P). (Valid for ids < ~2^32 — beyond that the
+    * int64 product would overflow; a 10^12-row pipeline keys the same
+    * condition on `xxhash64(id) & Long.MaxValue` instead.)
+    */
+  def hashSampleCond(idCol: Column, fraction: Double): Column =
+    (idCol.cast("long") * lit(2654435761L)) % lit(P) < lit((fraction * P).toLong)
+
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.where(hashSampleCond(col(idCol), fraction))
+
+  /** Stratified deterministic sampling: per-stratum fractions (e.g.
+    * downsample dominant languages, keep all of rare ones) — the
+    * language-balancing step of a training-data pipeline. Strata absent
+    * from the map keep `defaultFraction`.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 1.0): DataFrame = {
+    val fracCol = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (k, f)) => when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.where((col(idCol).cast("long") * lit(2654435761L)) % lit(P) <
+      (fracCol * P).cast("long"))
+  }
 }
