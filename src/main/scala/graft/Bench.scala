@@ -212,8 +212,12 @@ object Bench {
       // best would inflate the ratio. Once lo converges its children are
       // skipped (lo is ~3x the wall-clock of hi) and remaining reps buy hi
       // samples only.
+      // max raised 6 -> 8 in round 3: a throttled window needed all 6 reps
+      // to reach 0.816 (hi samples swung 14.4-24.6k); once lo has converged
+      // an extra rep costs only the short hi builds and best-of-n can only
+      // improve, so the ceiling is cheap insurance for the gate
       val minReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
-      val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_MAX_REPS", "6").toInt
+      val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_MAX_REPS", "8").toInt
       val hiOver = sys.env.getOrElse("SPARK_GRAFT_HI_OVERSAMPLE", "2").toInt
       val gate = sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "0.82").toDouble
       var useChild = childMode
