@@ -730,6 +730,14 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")), 7)
         .orderBy("doc_id", "frame_idx")
     },
+    // resize stage: aspect-preserving integer fit into 128x96 around the
+    // stubbed pixel transform — the geometry is the checkable part
+    "mm_resize" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Multimodal.resizeAll(Multimodal.decodeAll(Multimodal.asBlobs(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")), 128, 96)
+        .orderBy("doc_id")
+    },
 
     // ---- Structured Streaming analytics (EventStream) ----
     // A REAL streaming run: file source -> watermark -> windowed agg ->
@@ -1401,6 +1409,19 @@ object SparkEntry {
     "mm_frames" ->
       """SELECT doc_id, unnest(range(0, length(text) % 40 + 5, 7)) AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(length(text) % 640 + 16 AS BIGINT) AS width,
+        |  CAST((ascii(substr(text, 1, 1)) * 7) % 480 + 16 AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |CASE WHEN width <= 128 AND height <= 96 THEN width
+        |     WHEN height * 128 <= width * 96 THEN CAST(128 AS BIGINT)
+        |     ELSE greatest(CAST(1 AS BIGINT), width * 96 // height) END AS out_width,
+        |CASE WHEN width <= 128 AND height <= 96 THEN height
+        |     WHEN height * 128 <= width * 96 THEN greatest(CAST(1 AS BIGINT), height * 128 // width)
+        |     ELSE CAST(96 AS BIGINT) END AS out_height
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // complete-mode streaming == the batch hourly aggregate; cents-scaled
     // sums keep the money math integer-exact on both sides

@@ -68,4 +68,28 @@ object Multimodal {
   def sampleFrames(meta: Dataset[MediaMeta], step: Int): DataFrame =
     meta.toDF().select(col("doc_id"),
       explode(sequence(lit(0L), col("n_frames") - 1, lit(step.toLong))).as("frame_idx"))
+
+  /** Aspect-preserving fit of (w, h) into (maxW, maxH), downscale only —
+    * INTEGER arithmetic end to end so any engine replays it exactly
+    * (floor division, width-bound vs height-bound chosen by cross-product
+    * comparison, no floating point).
+    */
+  def fitWithin(w: Long, h: Long, maxW: Long, maxH: Long): (Long, Long) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (h * maxW <= w * maxH) (maxW, math.max(1L, h * maxW / w)) // width-bound
+    else (math.max(1L, w * maxH / h), maxH)                          // height-bound
+
+  /** Resize stage: the geometry (real, tested, engine-replayable) around
+    * the stubbed pixel transform — a production codec resamples `blob` to
+    * (out_width, out_height); here the payload stays opaque and only the
+    * metadata advances, like decodeStub.
+    */
+  def resizeAll(meta: Dataset[MediaMeta], maxW: Long, maxH: Long)
+               (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    meta.mapPartitions(_.map { m =>
+      val (ow, oh) = fitWithin(m.width, m.height, maxW, maxH)
+      (m.doc_id, m.width, m.height, ow, oh)
+    }).toDF("doc_id", "width", "height", "out_width", "out_height")
+  }
 }

@@ -40,4 +40,17 @@ class TextSampleSpec extends AnyFunSuite {
     assert(TextOps.hashSample(docs, "doc_id", 0.0).count() == 0)
     assert(TextOps.hashSample(docs, "doc_id", 1.0).count() == 4000)
   }
+
+  test("multimodal fitWithin: aspect-preserving integer fit, downscale only") {
+    import graft.ops.Multimodal.fitWithin
+    assert(fitWithin(100, 50, 128, 96) == ((100L, 50L)))   // already fits
+    assert(fitWithin(640, 480, 128, 96) == ((128L, 96L)))  // exact 4:3
+    assert(fitWithin(1000, 100, 128, 96) == ((128L, 12L))) // width-bound
+    assert(fitWithin(100, 1000, 128, 96) == ((9L, 96L)))   // height-bound
+    assert(fitWithin(10000, 1, 128, 96) == ((128L, 1L)))   // never below 1
+    assert(fitWithin(1, 10000, 128, 96) == ((1L, 96L)))
+    // ratio preserved within floor error: out_w/out_h ~ w/h
+    val (ow, oh) = fitWithin(333, 77, 128, 96)
+    assert(ow == 128 && oh == 77L * 128 / 333)
+  }
 }
