@@ -300,8 +300,17 @@ object Bench {
       val sorted = samples(name).sorted
       perQuery(name) = sorted(sorted.length / 2) / 1000.0 // median, seconds
       all ++= sorted
-      log(f"$name: p50 ${sorted(sorted.length / 2)}%.0f ms")
+      log(f"$name: p50 ${sorted(sorted.length / 2)}%.0f ms " +
+        f"(min ${sorted.head}%.0f, max ${sorted.last}%.0f)")
     }
+    // per-query rep-level dispersion: a host-throttle burst shows up as
+    // max >> min within one query's reps (r02/r03 each had one query's
+    // driver p50 swing 2x while the pooled set improved — with min/max in
+    // the JSON such a window is machine-detectable instead of re-litigated)
+    val qdisp = querySet.map(_._1).sorted.map { name =>
+      val s = samples(name).sorted
+      f""""$name":{"p50_ms":${s(s.length / 2)}%.1f,"min_ms":${s.head}%.1f,"max_ms":${s.last}%.1f}"""
+    }.mkString("{", ",", "}")
     val sortedAll = all.sorted
     val p50 = if (sortedAll.nonEmpty) sortedAll(sortedAll.length / 2) else 0.0
     val p95 = if (sortedAll.nonEmpty) sortedAll((sortedAll.length * 95) / 100 min (sortedAll.length - 1)) else 0.0
@@ -362,6 +371,6 @@ object Bench {
     val qjson = perQuery.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"headline query set (sec) + build scaling","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus_low":$cpusLo,"cpus_high":$cpusHi,"scaling_protocol":"${if (childMode) s"local-cluster[N,1core,4g] x {$cpusLo,$cpusHi} executor JVMs via spark-submit" else s"local[N] threads, shared JVM"}","build_files_per_sec_n":$fpsLo%.1f,"build_files_per_sec_4n":$fpsHi%.1f,"scaling_efficiency":$efficiency%.3f,"p50_query_ms":$p50%.1f,"p95_query_ms":$p95%.1f,"qs_p50_ms":$qsP50%.1f,"qs_p95_ms":$qsP95%.1f,"qs_n":${entries.length},"qs_docs":$qsDocs,"bench_docs":$nDocs,"ann_lsh_recall_at_20":$lshRecall%.2f,"ann_ivf_recall_at_20":$ivfRecall%.2f,"ann_ivf_frac_scanned":$ivfFracScanned%.3f}""")
+      f"""{"metric":"headline query set (sec) + build scaling","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus_low":$cpusLo,"cpus_high":$cpusHi,"scaling_protocol":"${if (childMode) s"local-cluster[N,1core,4g] x {$cpusLo,$cpusHi} executor JVMs via spark-submit" else s"local[N] threads, shared JVM"}","build_files_per_sec_n":$fpsLo%.1f,"build_files_per_sec_4n":$fpsHi%.1f,"scaling_efficiency":$efficiency%.3f,"p50_query_ms":$p50%.1f,"p95_query_ms":$p95%.1f,"qs_p50_ms":$qsP50%.1f,"qs_p95_ms":$qsP95%.1f,"qs_n":${entries.length},"qs_docs":$qsDocs,"bench_docs":$nDocs,"query_dispersion":$qdisp,"ann_lsh_recall_at_20":$lshRecall%.2f,"ann_ivf_recall_at_20":$ivfRecall%.2f,"ann_ivf_frac_scanned":$ivfFracScanned%.3f}""")
   }
 }

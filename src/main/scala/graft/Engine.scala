@@ -19,7 +19,14 @@ object Engine {
     * so results can be mapped back to the oracle's key space.
     */
   def documentsAsSource(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    projectDocuments(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** The documents-table -> engine-input projection, applicable to a batch
+    * OR a streaming DataFrame (all expressions are deterministic per-row,
+    * so the streaming ingest path indexes byte-identical rows).
+    */
+  def projectDocuments(documents: DataFrame): DataFrame =
+    documents
       .select(
         col("source").as("repo"),
         col("doc_id").cast("string").as("path"),
@@ -49,6 +56,15 @@ object Engine {
                 "yyyy-MM-dd'T'00:00:00."),
                 format_string('%03d%03d', CAST(doc_id % 997 AS INT), CAST(doc_id % 61 AS INT)),
                 'Z')""").as("mtimems"),                                // DATE millis
+        // DATE with nanosecond precision (`common/src/datetime.rs:24`,
+        // DateTimePrecision::Nanoseconds — the DateTime's native
+        // resolution): the 9-digit fraction is doc_id itself (valid for
+        // doc_id < 1e9), so range bounds discriminate at the NANOSECOND
+        // digit on real rows at every sf; DuckDB replays in integers
+        expr("""concat(date_format(date_add(DATE'2020-01-01', CAST(doc_id % 60 AS INT)),
+                "yyyy-MM-dd'T'00:00:00."),
+                format_string('%09d', CAST(doc_id AS INT)),
+                'Z')""").as("mtimens"),                                // DATE nanos
         expr("CASE WHEN n_chars % 2 = 0 THEN 'true' ELSE 'false' END").as("even"), // BOOL
         format_string("%04x", (col("doc_id") % 65521).cast("int")).as("blob"), // BYTES (hex)
         // the same text again under an en_stem-analyzed field
@@ -92,6 +108,7 @@ object Engine {
       // typed fields: order-preserving hex/ISO terms (field_type.rs)
       FieldDef.U64("nchars"), FieldDef.DATE("mtime"),
       FieldDef.DATE("mtimems", "millis"),
+      FieldDef.DATE("mtimens", "nanos"),
       FieldDef.BOOL("even"), FieldDef.BYTES("blob"),
       // schema-less JSON object field (doc/src/json.md)
       FieldDef("meta", "json", "position"),
@@ -129,6 +146,36 @@ object Engine {
         IndexBuilder.build(spark, documentsAsSource(spark, sfDir), dir, docsConfig)
       }
       new Searcher(spark, dir)
+    })
+
+  private val streamSearchers = new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
+
+  /** End-to-end STREAMING ingestion (the reference's IndexWriter
+    * add-then-commit loop, `ARCHITECTURE.md:31`, re-expressed as
+    * Structured Streaming): the corpus is staged as 3 parquet files, read
+    * back as a file-source stream with `maxFilesPerTrigger=1`, so
+    * `Trigger.AvailableNow` drives THREE foreachBatch micro-batches — each
+    * one an `IndexBuilder.append` commit (fresh immutable segments + an
+    * atomic manifest republish). The returned Searcher pins the final
+    * commit point and sees the union of all three commits' segments.
+    */
+  def streamIngestedSearcher(spark: SparkSession, sfDir: String): Searcher =
+    streamSearchers.computeIfAbsent(sfDir, { _ =>
+      val indexDir = indexDirFor(sfDir) + "-stream"
+      if (!Manifest.exists(indexDir)) {
+        val stage = indexDir + "-in"
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartitionByRange(3, col("doc_id"))
+          .write.mode("overwrite").parquet(stage)
+        val schema = spark.read.parquet(stage).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+        val q = graft.streaming.StreamIngest.startDf(
+          spark, projectDocuments(stream), indexDir, docsConfig,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      new Searcher(spark, indexDir)
     })
 
   /** Resolve an external doc_id to its (segId, docId) address. */

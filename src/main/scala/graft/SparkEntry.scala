@@ -135,15 +135,22 @@ object SparkEntry {
         PhrasePrefixQ(Seq(0 -> "order"), prefix = 1 -> "s"))),
     // scored phrase-prefix, the MultiPrefix shape (>= 2 fixed terms): BM25
     // through the fixed-terms phrase scorer, prefix gates matching only
-    // (`phrase_prefix_scorer.rs:84-93`); f64 twin of the Searcher path
+    // (`phrase_prefix_scorer.rs:84-93`); f64 twin of the Searcher path.
+    // maxExpansions is raised far above the corpus vocabulary because the
+    // DuckDB oracle gates with an UNBOUNDED `LIKE 's%'` — a default cap of
+    // 50 would silently diverge if the dictionary ever grew past it
     "ft_phrase_prefix_scored" -> ((s, dir) =>
       Engine.phrasePrefixScoredF64(Engine.searcher(s, dir),
-        Seq(0 -> "join", 1 -> "row"), prefix = (2, "s"))),
+        Seq(0 -> "join", 1 -> "row"), prefix = (2, "s"),
+        maxExpansions = 1000000)),
     // scored regex phrase (`regex_phrase_weight.rs`): tf = slot-union
-    // phrase count, weight from the raw pattern strings' (zero) dfs
+    // phrase count, weight from the raw pattern strings' (zero) dfs.
+    // maxExpansions >> vocabulary for the same oracle-coupling reason —
+    // the SQL twin's regexp_matches is unbounded
     "ft_regex_phrase_scored" -> ((s, dir) =>
       Engine.regexPhraseScoredF64(Engine.searcher(s, dir),
-        Seq(0 -> "^sp[a-z]*$", 1 -> "^m[a-z]*e$"))),
+        Seq(0 -> "^sp[a-z]*$", 1 -> "^m[a-z]*e$"),
+        maxExpansions = 1000000)),
     "ft_term_set" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir), TermSetQ(Set("dup", "vector")))),
     // ---- multi-valued fields (postings_writer.rs:136-160; columnar
@@ -218,6 +225,16 @@ object SparkEntry {
         QueryParser.parse(
           "mtimems:[2020-01-05T00:00:00.100Z TO 2020-01-20T00:00:00.500999Z}",
           opts = Engine.parseOpts))),
+    // nanosecond-precision date range (`common/src/datetime.rs:24`
+    // DateTimePrecision::Nanoseconds — the DateTime's native resolution):
+    // terms carry the canonical 9-digit fraction and BOTH bounds cut at
+    // the final nanosecond digits (.000000100 / .000000299), so the result
+    // depends on nanosecond resolution surviving end to end
+    "ft_date_range_nanos" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse(
+          "mtimens:[2020-01-05T00:00:00.000000100Z TO 2020-01-20T00:00:00.000000299Z}",
+          opts = Engine.parseOpts))),
     // bool term AND a default-field text term
     "ft_bool_term" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
@@ -249,6 +266,26 @@ object SparkEntry {
           snip(col("content")).as("snippet_html"))
         .orderBy("doc_id")
     },
+    // oracle-checkable snippet arithmetic (`src/snippet/mod.rs:205-263`):
+    // the fragment text + highlight char ranges that `ft_snippet`'s HTML
+    // renders, emitted as plain columns over EVERY doc matching the term —
+    // the DuckDB oracle replays the greedy fragment cuts (recursive CTE
+    // over cut points), the max-score/earliest-tie fragment choice, and
+    // the fragment-relative ranges, so the fragmenter is hash-gated
+    "ft_snippet_ranges" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      val gen = SnippetGenerator.create(sr, TermQ("spark"), "content",
+        chain = "default", maxNumChars = 100)
+      val snip = udf((c: String) => {
+        val sn = gen.snippet(c)
+        (sn.fragment, sn.highlighted.map { case (a, b) => s"$a:$b" }.mkString(";"))
+      })
+      Engine.docIdsWithDocmap(sr, TermQ("spark"))
+        .select(col("doc_id"), snip(col("content")).as("sn"))
+        .select(col("doc_id"), col("sn._1").as("fragment"),
+          col("sn._2").as("highlights"))
+        .orderBy("doc_id")
+    },
     "ft_range" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
         RangeQ("contentLen", Some((100.0, true)), Some((200.0, true))))),
@@ -261,6 +298,19 @@ object SparkEntry {
       val (seg, d) = Engine.addressOf(sr, 0L)
       Engine.docIds(sr, MoreLikeThisQ(seg, d,
         minDocFreq = 5, minTermFreq = 1, maxQueryTerms = 10))
+    },
+    // the FULL MoreLikeThis parameter surface (`more_like_this.rs:48-66`):
+    // doc-frequency window (min AND max), UTF-8-byte word-length bounds,
+    // stop words, and a maxQueryTerms small enough that the reference's
+    // heap off-by-one (retains limit+1 terms) is observable: doc 0 yields
+    // 6 candidate terms after the noise/df filters, cap 4 retains 5
+    "ft_mlt_opts" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      val (seg, d) = Engine.addressOf(sr, 0L)
+      Engine.docIds(sr, MoreLikeThisQ(seg, d,
+        minDocFreq = 5, minTermFreq = 1, maxQueryTerms = 4,
+        maxDocFreq = Some(390), minWordLen = Some(4), maxWordLen = Some(5),
+        stopWords = Set("table")))
     },
     "ft_delete" -> ((s, dir) =>
       Engine.docIds(Engine.searcherWithDelete(s, dir, "dup"), TermQ("the"))),
@@ -582,6 +632,17 @@ object SparkEntry {
       Aggregations.termsWithErrorBounds(
         s.read.parquet(s"$dir/events.parquet"), "event_type",
         name = "event_type", size = 3)),
+    // the reference's segment-cutoff APPROXIMATION mode (`term_agg.rs`
+    // segment_size): 3 deterministic shards (user_id % 3) each report only
+    // their top-2 types, so the merged doc_counts undercount and the
+    // response carries a NON-ZERO doc_count_error_upper_bound = Σ per-shard
+    // first-unreported counts — the ES bookkeeping the exact path never
+    // exhibits; every number replayed by the oracle
+    "agg_terms_approx" -> ((s, dir) =>
+      Aggregations.termsApproxCutoff(
+        s.read.parquet(s"$dir/events.parquet"), "event_type",
+        shard = pmod(col("user_id"), lit(3)),
+        name = "event_type", size = 2, segmentSize = 2)),
     // gap-free histogram (min_doc_count=0 default): empty buckets emitted
     // across the extended_bounds-widened axis (histogram.rs:554-587)
     "agg_histogram_empty_buckets" -> ((s, dir) =>
@@ -757,7 +818,14 @@ object SparkEntry {
     "stream_dedup" -> ((s, dir) =>
       graft.streaming.EventStream.runDedupOverParquet(
           s, s"$dir/events.parquet", Seq("user_id", "event_type"))
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+    // END-TO-END streaming ingestion (StreamIngest.startDf): the corpus
+    // arrives as a 3-file stream, foreachBatch commits each micro-batch as
+    // fresh segments + an atomic manifest republish, and a Searcher pinned
+    // to the final commit answers a term query spanning all 3 commits'
+    // segments — oracle = the batch twin of the same query
+    "stream_ingest_query" -> ((s, dir) =>
+      Engine.docIds(Engine.streamIngestedSearcher(s, dir), TermQ("vector")))
   )
 
   /** Embedding of vec_id 0 as the ANN query vector (exact float->double). */
@@ -801,13 +869,14 @@ object SparkEntry {
          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // the WAND entry's f64 twin: quantized-fieldnorm dl (what the f32
-    // scorer reads), ordered by the unrounded sum (the engine orders by
-    // exact f32 score), projected at 4 decimals where f32 == f64 for this
-    // query (WandOracleSpec asserts the rounding agreement + boundary gap)
+    // scorer reads), projected at 4 decimals where f32 == f64 for this
+    // query (WandOracleSpec asserts the rounding agreement + boundary gap).
+    // ORDER BY matches the Spark side exactly — rounded score then doc_id —
+    // so an intra-top-10 rounded tie orders identically on both sides
     "ft_wand_topk" ->
       s"""WITH ${bmCtesQuantized(Seq("spark", "merge", "order"))}
          |SELECT doc_id, round(sum(sc), 4) AS score FROM sc GROUP BY doc_id
-         |ORDER BY sum(sc) DESC, doc_id LIMIT 10""".stripMargin,
+         |ORDER BY round(sum(sc), 4) DESC, doc_id LIMIT 10""".stripMargin,
     "ft_top_by_string" ->
       s"""WITH $tokCte SELECT doc_id, lang FROM documents
          |WHERE doc_id IN (SELECT doc_id FROM tok WHERE t = 'join')
@@ -936,6 +1005,14 @@ object SparkEntry {
         |WHERE (doc_id % 60 > 4 OR (doc_id % 60 = 4 AND doc_id % 997 >= 100))
         |  AND (doc_id % 60 < 19 OR (doc_id % 60 = 19 AND doc_id % 997 < 500))
         |ORDER BY doc_id""".stripMargin,
+    // mtimens day = doc_id % 60, nanos fraction = doc_id (9-digit width);
+    // [day4 @ 100ns inclusive, day19 @ 299ns exclusive — integer replay of
+    // the nanosecond-digit cuts
+    "ft_date_range_nanos" ->
+      """SELECT doc_id FROM documents
+        |WHERE (doc_id % 60 > 4 OR (doc_id % 60 = 4 AND doc_id >= 100))
+        |  AND (doc_id % 60 < 19 OR (doc_id % 60 = 19 AND doc_id < 299))
+        |ORDER BY doc_id""".stripMargin,
     "ft_bool_term" ->
       s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok
          |JOIN documents USING (doc_id)
@@ -958,6 +1035,9 @@ object SparkEntry {
       s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t IN
          |(SELECT t FROM (SELECT DISTINCT t FROM tok) WHERE levenshtein(t, 'quer') <= 1)
          |ORDER BY doc_id""".stripMargin,
+    // LIMIT 11 = maxQueryTerms + 1: the reference's bounded heap pushes
+    // while len <= limit (`more_like_this.rs:349-360`), retaining limit+1
+    // terms — the engine mirrors that faithfully
     "ft_mlt" ->
       s"""WITH $tokCte,
          |d0 AS (SELECT t, count(*) AS tf FROM tok WHERE doc_id = 0 GROUP BY t),
@@ -965,7 +1045,60 @@ object SparkEntry {
          |nn AS (SELECT count(*) AS nd FROM documents),
          |sel AS (SELECT t FROM d0 JOIN dfall USING (t) CROSS JOIN nn
          |  WHERE tf >= 1 AND df >= 5
-         |  ORDER BY tf * ln(1e0 + (nd - df + 0.5e0) / (df + 0.5e0)) DESC, t LIMIT 10)
+         |  ORDER BY tf * ln(1e0 + (nd - df + 0.5e0) / (df + 0.5e0)) DESC, t LIMIT 11)
+         |SELECT DISTINCT doc_id FROM tok WHERE t IN (SELECT t FROM sel)
+         |ORDER BY doc_id""".stripMargin,
+    // full replay of the snippet fragmenter (`src/snippet/mod.rs:205-263`):
+    // token char offsets from the split widths, greedy fragment cut points
+    // via a recursive CTE (next start = first token whose end overflows
+    // start+100), tokens assigned to the latest cut at-or-before them,
+    // fragments kept iff they contain a query-term occurrence, best = max
+    // occurrence count (single-term query => score order == count order)
+    // with earliest (start, stop) tie-break, highlights emitted as
+    // fragment-relative "from:to" pairs in token order
+    "ft_snippet_ranges" ->
+      """WITH RECURSIVE
+        |pos AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+        |        unnest(string_split(text, ' ')) AS t FROM documents),
+        |tk AS (SELECT doc_id, i, t,
+        |        CAST(coalesce(sum(strlen(t) + 1) OVER w, 0) AS BIGINT) AS f,
+        |        CAST(coalesce(sum(strlen(t) + 1) OVER w, 0) + strlen(t) AS BIGINT) AS e
+        |       FROM pos
+        |       WINDOW w AS (PARTITION BY doc_id ORDER BY i
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |frag AS (
+        |  SELECT DISTINCT doc_id, CAST(0 AS BIGINT) AS s FROM tk
+        |  UNION ALL
+        |  SELECT f.doc_id,
+        |         (SELECT min(t2.f) FROM tk t2 WHERE t2.doc_id = f.doc_id AND t2.e > f.s + 100) AS s
+        |  FROM frag f
+        |  WHERE EXISTS (SELECT 1 FROM tk t2 WHERE t2.doc_id = f.doc_id AND t2.e > f.s + 100)),
+        |asg AS (SELECT tk.*, (SELECT max(fr.s) FROM frag fr
+        |                      WHERE fr.doc_id = tk.doc_id AND fr.s <= tk.f) AS s FROM tk),
+        |fs AS (SELECT doc_id, s, max(e) AS stop,
+        |              count(*) FILTER (WHERE t = 'spark') AS cnt
+        |       FROM asg GROUP BY doc_id, s
+        |       HAVING count(*) FILTER (WHERE t = 'spark') > 0),
+        |best AS (SELECT doc_id, s, stop FROM fs
+        |         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, s, stop) = 1)
+        |SELECT b.doc_id,
+        |       substring(d.text, CAST(b.s + 1 AS INT), CAST(b.stop - b.s AS INT)) AS fragment,
+        |       (SELECT string_agg(CAST(a.f - b.s AS VARCHAR) || ':' || CAST(a.e - b.s AS VARCHAR), ';' ORDER BY a.f)
+        |        FROM asg a WHERE a.doc_id = b.doc_id AND a.s = b.s AND a.t = 'spark') AS highlights
+        |FROM best b JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // strlen() is DuckDB's BYTE length — matching the engine's UTF-8-byte
+    // word-length bounds (`is_noise_word` measures String::len, i.e. bytes);
+    // LIMIT 5 = maxQueryTerms(4) + 1 per the mirrored heap retention
+    "ft_mlt_opts" ->
+      s"""WITH $tokCte,
+         |d0 AS (SELECT t, count(*) AS tf FROM tok WHERE doc_id = 0 GROUP BY t),
+         |dfall AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+         |nn AS (SELECT count(*) AS nd FROM documents),
+         |sel AS (SELECT t FROM d0 JOIN dfall USING (t) CROSS JOIN nn
+         |  WHERE tf >= 1 AND df >= 5 AND df <= 390
+         |    AND strlen(t) BETWEEN 4 AND 5 AND t NOT IN ('table')
+         |  ORDER BY tf * ln(1e0 + (nd - df + 0.5e0) / (df + 0.5e0)) DESC, t LIMIT 5)
          |SELECT DISTINCT doc_id FROM tok WHERE t IN (SELECT t FROM sel)
          |ORDER BY doc_id""".stripMargin,
     "ft_delete" ->
@@ -1164,6 +1297,24 @@ object SparkEntry {
         |CAST(t.total - (SELECT sum(cnt) FROM b) AS BIGINT) AS sum_other_doc_count,
         |CAST(0 AS BIGINT) AS doc_count_error_upper_bound
         |FROM b, t ORDER BY cnt DESC, event_type""".stripMargin,
+    // segment-cutoff replay: per-shard rank cut at 2, error bound = Σ of
+    // each shard's rank-3 count, sum_other = total − Σ(returned doc_counts)
+    "agg_terms_approx" ->
+      """WITH ps AS (SELECT user_id % 3 AS sh, event_type, count(*) AS cnt
+        |            FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER
+        |         (PARTITION BY sh ORDER BY cnt DESC, event_type) AS rk FROM ps),
+        |err AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS e FROM rk WHERE rk = 3),
+        |tot AS (SELECT count(*) AS t FROM events WHERE event_type IS NOT NULL),
+        |merged AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS doc_count
+        |           FROM rk WHERE rk <= 2 GROUP BY event_type
+        |           ORDER BY doc_count DESC, event_type LIMIT 2),
+        |s AS (SELECT sum(doc_count) AS topsum FROM merged)
+        |SELECT event_type, doc_count,
+        |       CAST(t - topsum AS BIGINT) AS sum_other_doc_count,
+        |       e AS doc_count_error_upper_bound
+        |FROM merged CROSS JOIN err CROSS JOIN tot CROSS JOIN s
+        |ORDER BY doc_count DESC, event_type""".stripMargin,
     // floor(-100/20) = -5, floor(600/20) = 30: the extended_bounds bucket
     // positions, replayed as constants like the Scala side's ordOf
     "agg_histogram_empty_buckets" ->
@@ -1443,7 +1594,10 @@ object SparkEntry {
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start_ms""".stripMargin,
     "stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2"
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2",
+    // the streamed index must answer exactly like a batch-built one
+    "stream_ingest_query" ->
+      s"WITH $tokCte SELECT DISTINCT doc_id FROM tok WHERE t = 'vector' ORDER BY doc_id"
   )
 
   /** One Lloyd round as SQL CTEs (mirror of Similarity.ivfCentroids):

@@ -368,6 +368,8 @@ object Analysis {
       canonicalDate(t.text, "millis").map(c => t.copy(text = c)))
     case "date_micros" => rawTokenize(text).flatMap(t =>
       canonicalDate(t.text, "micros").map(c => t.copy(text = c)))
+    case "date_nanos" => rawTokenize(text).flatMap(t =>
+      canonicalDate(t.text, "nanos").map(c => t.copy(text = c)))
     case "bytes" => rawTokenize(text).flatMap(t => canonicalBytesHex(t.text).map(c => t.copy(text = c)))
     case other => throw new IllegalArgumentException(s"unknown tokenizer chain: $other")
   }
@@ -439,12 +441,14 @@ object Analysis {
     s.trim match { case t @ ("true" | "false") => Some(t); case _ => None }
 
   /** Date term: RFC-3339 text normalized to UTC, truncated to the field's
-    * `DatePrecision` (`src/schema/date_time_options.rs`: Seconds — the
-    * reference default — Milliseconds, or Microseconds), rendered
-    * fixed-width so lexicographic == chronological WITHIN a precision:
-    * seconds `uuuu-MM-ddTHH:mm:ssZ`, millis `...ss.SSSZ`, micros
-    * `...ss.SSSSSSZ`. Sub-precision digits are truncated (not rounded),
-    * like the reference's `truncate(precision)`.
+    * `DatePrecision` (`common/src/datetime.rs:16-25`: Seconds — the
+    * reference default — Milliseconds, Microseconds, or Nanoseconds),
+    * rendered fixed-width so lexicographic == chronological WITHIN a
+    * precision: seconds `uuuu-MM-ddTHH:mm:ssZ`, millis `...ss.SSSZ`,
+    * micros `...ss.SSSSSSZ`, nanos `...ss.SSSSSSSSSZ` (the canonical
+    * 9-digit width). Sub-precision digits are truncated (not rounded),
+    * like the reference's `truncate(precision)`; nanos is the reference
+    * DateTime's native resolution, so its truncation is the identity.
     */
   def canonicalDate(s: String, precision: String = "seconds"): Option[String] = {
     val (unit, pattern) = precision match {
@@ -454,6 +458,8 @@ object Analysis {
         "uuuu-MM-dd'T'HH:mm:ss.SSS'Z'")
       case "micros" => (java.time.temporal.ChronoUnit.MICROS,
         "uuuu-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      case "nanos" => (java.time.temporal.ChronoUnit.NANOS,
+        "uuuu-MM-dd'T'HH:mm:ss.SSSSSSSSS'Z'")
       case other => throw new IllegalArgumentException(s"unknown DatePrecision: $other")
     }
     try {

@@ -88,13 +88,15 @@ object FieldDef {
   def F64(name: String): FieldDef = FieldDef(name, "f64", "basic")
   def BOOL(name: String): FieldDef = FieldDef(name, "bool", "basic")
   def DATE(name: String): FieldDef = FieldDef(name, "date", "basic")
-  /** `date_time_options.rs` DatePrecision: "seconds" (reference default) |
-    * "millis" | "micros" — values truncate to the precision at indexing.
+  /** `common/src/datetime.rs:16-25` DateTimePrecision: "seconds" (reference
+    * default) | "millis" | "micros" | "nanos" — values truncate to the
+    * precision at indexing (nanos = the DateTime's native resolution).
     */
   def DATE(name: String, precision: String): FieldDef = precision match {
     case "seconds" => FieldDef(name, "date", "basic")
     case "millis"  => FieldDef(name, "date_millis", "basic")
     case "micros"  => FieldDef(name, "date_micros", "basic")
+    case "nanos"   => FieldDef(name, "date_nanos", "basic")
     case other => throw new IllegalArgumentException(s"unknown DatePrecision: $other")
   }
   def BYTES(name: String): FieldDef = FieldDef(name, "bytes", "basic")

@@ -40,7 +40,10 @@ object SpaceUsage {
     if (!dir.exists()) return (0L, 0)
     var bytes = 0L; var files = 0
     def walk(f: java.io.File): Unit =
-      if (f.isDirectory) f.listFiles().foreach(walk)
+      // listFiles() returns null if the directory vanished mid-walk (a
+      // concurrent dead-batch GC, which this accounting deliberately
+      // excludes) or is unreadable — tolerate the race, don't NPE
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
       else if (f.getName.endsWith(".parquet")) { bytes += f.length(); files += 1 }
     walk(dir)
     (bytes, files)

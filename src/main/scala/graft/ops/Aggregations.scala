@@ -400,6 +400,53 @@ object Aggregations {
       .orderBy(desc("cnt"), asc(name))
   }
 
+  /** The reference's SEGMENT-CUTOFF approximation mode (`bucket/term_agg.rs:
+    * 78-94` and `segment_size`/`shard_size` at `:214-225`): each segment
+    * reports only its top `segmentSize` terms by count, so merged
+    * doc_counts may UNDERCOUNT, and the response carries the bookkeeping a
+    * caller asserting ES-style bounds expects:
+    *  - `doc_count_error_upper_bound` = Σ over segments of the first
+    *    UNREPORTED count (the (segmentSize+1)-th entry, 0 if the segment
+    *    had no more; `cut_off_buckets` `:760-775`, assigned `:740`) — the
+    *    per-segment bounds SUM unconditionally at merge
+    *    (`intermediate_agg_result.rs:558-559`);
+    *  - `sum_other_doc_count` = the per-segment cut sums plus the final
+    *    `size` cut (`intermediate_agg_result.rs:715-722`), which
+    *    telescopes to total − Σ(returned doc_counts).
+    * Segment identity is the caller-supplied deterministic `shard`
+    * expression (the index path would pass segId). Per-segment ties cut by
+    * (count desc, key asc) for determinism — the reference's unstable sort
+    * leaves equal-count ties unspecified. The exact path
+    * ([[termsWithErrorBounds]]) reports bound 0; this one exhibits the
+    * reference's approximation semantics end to end.
+    */
+  def termsApproxCutoff(df: DataFrame, field: String, shard: Column,
+      name: String = "key", size: Int, segmentSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(field).isNotNull)
+    // per-shard full counts, then the shard-local cutoff rank; each window
+    // partition holds one shard's distinct keys (vocabulary-bounded)
+    val perShard = base.groupBy(shard.as("__shard"), col(field).as(name))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("__shard").orderBy(desc("cnt"), asc(name))
+    val ranked = perShard.withColumn("__rk", row_number().over(w))
+    val bound = ranked.where(col("__rk") === segmentSize + 1)
+      .agg(coalesce(sum("cnt"), lit(0L)).as("__err"))
+    val total = base.agg(count(lit(1)).as("__total"))
+    val merged = ranked.where(col("__rk") <= segmentSize)
+      .groupBy(col(name)).agg(sum("cnt").as("doc_count"))
+      .orderBy(desc("doc_count"), asc(name)).limit(size)
+    // the final window spans only the <= size returned rows — driver-tiny
+    merged.crossJoin(broadcast(bound)).crossJoin(broadcast(total))
+      .withColumn("sum_other_doc_count",
+        col("__total") - sum("doc_count").over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("doc_count_error_upper_bound", col("__err"))
+      .drop("__total", "__err")
+      .orderBy(desc("doc_count"), asc(name))
+  }
+
   /** A node of an arbitrary sub-aggregation TREE (`agg_req.rs:120-171`):
     * a bucket agg carrying its own metric sub-aggs plus any number of
     * SIBLING child bucket aggs — the shape a chain cannot express.

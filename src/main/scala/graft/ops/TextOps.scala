@@ -208,8 +208,10 @@ object TextOps {
     * re-derive identical splits; Spark's `sample`/`sampleBy` RNG state is
     * neither) and replayable by any engine, so the sample itself is
     * oracle-checkable. The Knuth multiplicative hash spreads sequential
-    * ids uniformly over [0, P). (Valid for ids < ~2^32 — beyond that the
-    * int64 product would overflow; a 10^12-row pipeline keys the same
+    * ids uniformly over [0, P). (Valid for ids < 2^63/2654435761 ≈ 3.4e9
+    * — beyond that the int64 product overflows: Spark wraps negative so
+    * the `% P < k` test degenerates, while DuckDB raises an overflow
+    * error, and the two sides diverge; a 10^12-row pipeline keys the same
     * condition on `xxhash64(id) & Long.MaxValue` instead.)
     */
   def hashSampleCond(idCol: Column, fraction: Double): Column =

@@ -93,6 +93,60 @@ object Intersect {
     */
   private final val RARE_BROADCAST_MAX_DF: Long = 1L << 16
 
+  /** First index in the sorted array with value >= target. */
+  private def lowerBound(a: Array[Int], target: Long): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (a(mid) < target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Slice block rows into docId-range chunks of `chunkDocs` docs, keyed
+    * (segId, chunk) — same soundness argument as the WAND executor's
+    * chunking (Wand.multiTerm): a doc's entries for every term land in the
+    * same chunk, so per-chunk intersections are complete for their docs and
+    * disjoint across chunks; counts add, per-chunk top-ks driver-merge. A
+    * straddling block is sliced exactly, including its CSR position slice.
+    * Bounds per-task residency for arbitrarily large segments AND lets
+    * several tasks work one giant segment in parallel.
+    */
+  private def chunkRows(
+      rows: org.apache.spark.sql.Dataset[(Int, String, Int, Array[Int], Array[Int], Array[Int], Array[Int], Array[Int])],
+      chunkDocs: Int) = {
+    import rows.sparkSession.implicits._
+    val cw = chunkDocs
+    rows.flatMap { case (segId, term, blockId, ds, tfs, ns, pf, pl) =>
+      if (ds.isEmpty) Iterator.empty
+      else {
+        val lo = ds(0) / cw
+        val hi = ds(ds.length - 1) / cw
+        if (lo == hi) Iterator.single((segId, lo, term, blockId, ds, tfs, ns, pf, pl))
+        else {
+          // CSR prefix offsets once per straddling block (rare case)
+          val off = new Array[Int](pl.length + 1)
+          var i = 0
+          while (i < pl.length) { off(i + 1) = off(i) + pl(i); i += 1 }
+          (lo to hi).iterator.flatMap { c =>
+            val from = lowerBound(ds, c.toLong * cw)
+            val until = lowerBound(ds, (c + 1).toLong * cw)
+            if (from == until) Iterator.empty
+            else {
+              import java.util.Arrays.copyOfRange
+              val (pf2, pl2) =
+                if (pl.isEmpty) (Array.emptyIntArray, Array.emptyIntArray)
+                else (copyOfRange(pf, off(from), off(until)), copyOfRange(pl, from, until))
+              Iterator.single((segId, c, term, blockId,
+                copyOfRange(ds, from, until), copyOfRange(tfs, from, until),
+                copyOfRange(ns, from, until), pf2, pl2))
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Per-segment term lists for the leapfrog, as a grouped Dataset whose
     * tasks see every query term's postings for their segment.
     *
@@ -108,15 +162,16 @@ object Intersect {
     */
   private def mapSegments[R: org.apache.spark.sql.Encoder](
       searcher: Searcher, ordered: Seq[String], dfs: Map[String, Long],
-      needPositions: Boolean)(f: (Int, Map[String, TermPostings]) => R): Array[R] = {
+      needPositions: Boolean,
+      chunkDocs: Int = Wand.DefaultChunkDocs)(f: (Int, Map[String, TermPostings]) => R): Array[R] = {
     import searcher.spark.implicits._
     val rare = ordered.head
     val useBc = ordered.length > 1 && dfs(rare) <= RARE_BROADCAST_MAX_DF &&
       ordered.tail.map(dfs).sum > 4 * dfs(rare)
     if (!useBc) {
-      collectSegments(searcher, ordered, needPositions)
-        .groupByKey(_._1)
-        .mapGroups { (segId, it) => f(segId, assemble(it, needPositions)) }
+      chunkRows(collectSegments(searcher, ordered, needPositions), chunkDocs)
+        .groupByKey(r => (r._1, r._2))
+        .mapGroups { (key, it) => f(key._1, assembleChunk(it, needPositions)) }
         .collect()
     } else {
       val spark = searcher.spark
@@ -127,21 +182,25 @@ object Intersect {
       val rareB = spark.sparkContext.broadcast(rareBySeg.map {
         case (s, tp) => s -> (tp.docIds, tp.tfs, tp.normIds, tp.posFlat, tp.posOffsets) })
       val rareName = rare
-      val local = collectSegments(searcher, ordered.tail, needPositions)
-        .filter { r =>
-          rareB.value.get(r._1) match {
-            case None => false // rare term absent in segment: empty intersection
-            case Some((docs, _, _, _, _)) =>
-              val ds = r._4
-              val p = java.util.Arrays.binarySearch(docs, ds(0))
-              val ins = if (p >= 0) p else -p - 1
-              ins < docs.length && docs(ins) <= ds(ds.length - 1)
-          }
-        }
-        .groupByKey(_._1)
-        .mapGroups { (segId, it) =>
-          val (d, t, n, pf, po) = rareB.value(segId)
-          f(segId, assemble(it, needPositions) + (rareName -> new TermPostings(d, t, n, pf, po)))
+      // the rare list rides the broadcast WHOLE into every chunk task; the
+      // leapfrog drives on it and only probes the chunk's other-term slices,
+      // so each cross-chunk doc is found exactly once (in its own chunk)
+      val local = chunkRows(
+          collectSegments(searcher, ordered.tail, needPositions)
+            .filter { r =>
+              rareB.value.get(r._1) match {
+                case None => false // rare term absent in segment: empty intersection
+                case Some((docs, _, _, _, _)) =>
+                  val ds = r._4
+                  val p = java.util.Arrays.binarySearch(docs, ds(0))
+                  val ins = if (p >= 0) p else -p - 1
+                  ins < docs.length && docs(ins) <= ds(ds.length - 1)
+              }
+            }, chunkDocs)
+        .groupByKey(r => (r._1, r._2))
+        .mapGroups { (key, it) =>
+          val (d, t, n, pf, po) = rareB.value(key._1)
+          f(key._1, assembleChunk(it, needPositions) + (rareName -> new TermPostings(d, t, n, pf, po)))
         }
         .collect()
       // segments where the rare term matched but NO other-term block survived
@@ -149,6 +208,13 @@ object Intersect {
       local
     }
   }
+
+  /** [[assemble]] over chunk-keyed rows (the chunk id is dropped). */
+  private def assembleChunk(
+      it: Iterator[(Int, Int, String, Int, Array[Int], Array[Int], Array[Int], Array[Int], Array[Int])],
+      needPositions: Boolean): Map[String, TermPostings] =
+    assemble(it.map { case (segId, _, term, blockId, ds, tfs, ns, pf, pl) =>
+      (segId, term, blockId, ds, tfs, ns, pf, pl) }, needPositions)
 
   /** Assemble each term's blocks (sorted by blockId) into one TermPostings;
     * per-block CSR slices concatenate into one per-term CSR.
@@ -184,7 +250,8 @@ object Intersect {
     * Score = sum of per-clause BM25 term scores in clause order
     * (`SumCombiner`, `score_combiner.rs:39`), f32.
     */
-  def topKMust(searcher: Searcher, clauseTerms: Seq[String], k: Int): (Array[Hit], Long) = {
+  def topKMust(searcher: Searcher, clauseTerms: Seq[String], k: Int,
+               chunkDocs: Int = Wand.DefaultChunkDocs): (Array[Hit], Long) = {
     val spark = searcher.spark
     import spark.implicits._
     val distinct = clauseTerms.distinct
@@ -198,7 +265,7 @@ object Intersect {
     val wB = spark.sparkContext.broadcast(ordered.map(weights).toArray)
     val orderedB = spark.sparkContext.broadcast(ordered.toArray)
 
-    val fruits = mapSegments(searcher, ordered, dfs, needPositions = false) {
+    val fruits = mapSegments(searcher, ordered, dfs, needPositions = false, chunkDocs) {
       (segId, byTerm) =>
         val ws = wB.value
         val lists = orderedB.value.map(t =>
@@ -229,7 +296,8 @@ object Intersect {
     * positions check; phrase occurrence count is the tf fed to the summed-idf
     * multi-term weight (`bm25.rs:115-123`, `phrase_scorer.rs:82-143`).
     */
-  def topKPhrase(searcher: Searcher, p: PhraseQ, k: Int): (Array[Hit], Long) = {
+  def topKPhrase(searcher: Searcher, p: PhraseQ, k: Int,
+                 chunkDocs: Int = Wand.DefaultChunkDocs): (Array[Hit], Long) = {
     require(searcher.indexMeta.forall(_.withPositions),
       s"phrase query needs positions, but the index at ${searcher.indexDir} was built with withPositions=false")
     val spark = searcher.spark
@@ -247,7 +315,7 @@ object Intersect {
     val orderedB = spark.sparkContext.broadcast(ordered.toArray)
     val weightB = spark.sparkContext.broadcast(weight)
 
-    val fruits = mapSegments(searcher, ordered, dfs, needPositions = true) {
+    val fruits = mapSegments(searcher, ordered, dfs, needPositions = true, chunkDocs) {
       (segId, byTerm) =>
         val lists = orderedB.value.map(t =>
           byTerm.getOrElse(t,

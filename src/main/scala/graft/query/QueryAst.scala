@@ -71,21 +71,39 @@ final case class RegexQ(pattern: String) extends Query
 /** `src/query/exist_query.rs:36-94` — docs where a docmap column is non-null. */
 final case class ExistsQ(column: String) extends Query
 
-/** `src/query/more_like_this/more_like_this.rs:50-78` — select the reference
-  * doc's most significant terms by tf-idf (filtered by min doc frequency,
-  * min term frequency, capped at maxQueryTerms, ties broken by ascending
-  * term), then match docs containing any selected term (the reference
-  * builds a boosted-TermQuery disjunction).
+/** `src/query/more_like_this/more_like_this.rs:48-66` — select the reference
+  * doc's most significant terms by tf-idf, then match docs containing any
+  * selected term (the reference builds a boosted-TermQuery disjunction).
+  * The FULL parameter surface:
+  *  - `minDocFreq` / `maxDocFreq`: keep terms with minDf <= df <= maxDf
+  *    (df == 0 always dropped, `more_like_this.rs:323-345`);
+  *  - `minTermFreq`: keep terms occurring >= minTf times in the doc;
+  *  - `minWordLen` / `maxWordLen`: word-length bounds in UTF-8 BYTES (the
+  *    reference's `is_noise_word` measures `String::len`,
+  *    `more_like_this.rs:277-296`);
+  *  - `stopWords`: exact-match analyzed-term stop list (`:295`);
+  *  - `maxQueryTerms`: the reference's bounded heap retains UP TO
+  *    `max_query_terms + 1` terms (it pushes while `len <= limit`,
+  *    `more_like_this.rs:349-360`) — mirrored here, ties broken by
+  *    ascending term for determinism (the reference's HashMap iteration
+  *    order leaves equal-score ties unspecified);
+  *  - `boostFactor`: each selected term's boost is
+  *    `score * boostFactor / bestScore` (`more_like_this.rs:110-121`).
   */
 final case class MoreLikeThisQ(segId: Int, docId: Int, minDocFreq: Long = 5,
-    minTermFreq: Long = 1, maxQueryTerms: Int = 10) extends Query
+    minTermFreq: Long = 1, maxQueryTerms: Int = 10,
+    maxDocFreq: Option[Long] = None,
+    minWordLen: Option[Int] = None, maxWordLen: Option[Int] = None,
+    stopWords: Set[String] = Set.empty,
+    boostFactor: Float = 1.0f) extends Query
 
 /** `src/query/phrase_query/regex_phrase_query.rs:23` — a phrase whose terms
   * are regexes; each position expands to the matching terms from the term
   * dictionary (ascending term order, capped at `maxExpansions` per position),
-  * and a doc matches when some combination completes the phrase. Doc-set
-  * (const score) semantics here; the reference scores via per-position
-  * unions.
+  * and a doc matches when some combination completes the phrase. SCORED like
+  * the reference (`regex_phrase_weight.rs:107-149`): tf = the slot-union
+  * phrase count, and the BM25 weight comes from the raw PATTERN strings'
+  * doc freqs (0 unless a pattern is literally a dictionary term).
   */
 final case class RegexPhraseQ(terms: Seq[(Int, String)], slop: Int = 0,
     maxExpansions: Int = 1000) extends Query

@@ -268,36 +268,49 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         sorted.foreach { r => sm += r._4; if (r._4 > mx) mx = r._4 }
         ScoredDoc(key._1, key._2, mx + tie * (sm - mx))
       }
-    case MoreLikeThisQ(segId, docId, minDf, minTf, maxTerms) =>
+    case MoreLikeThisQ(segId, docId, minDf, minTf, maxTerms,
+                       maxDf, minWordLen, maxWordLen, stopWords, boostFactor) =>
       // driver-side term selection (`more_like_this.rs:298-360`): re-analyze
-      // the reference doc's stored content, keep terms with tf >= minTf and
-      // global df >= minDf, score each term tf * bm25-idf(df, N)
-      // (`bm25.rs:50`, the formula the reference's create_score_term calls;
-      // ties by ascending term for determinism), cap at maxTerms, then emit
-      // the reference's boosted Should-disjunction: each term's BoostQuery
-      // carries score * boost_factor / best_score
-      // (`more_like_this.rs:109-121`, boost_factor default 1.0).
+      // the reference doc's stored content, drop noise words (UTF-8-byte
+      // word-length bounds + stop list, `is_noise_word` `:277-296`), keep
+      // terms with tf >= minTf and global df in [minDf, maxDf] (df == 0
+      // always dropped), score each term tf * bm25-idf(df, N) (`bm25.rs:50`,
+      // the formula create_score_term calls; ties by ascending term for
+      // determinism), cap at maxTerms + 1 (the reference's bounded heap
+      // pushes while `len <= limit`, `more_like_this.rs:349-360`, so up to
+      // limit+1 terms survive — mirrored faithfully), then emit the
+      // reference's boosted Should-disjunction: each term's BoostQuery
+      // carries score * boost_factor / best_score (`more_like_this.rs:
+      // 109-121`, boost_factor default 1.0).
       val content = docmap
         .where($"segId" === segId && $"docId" === docId)
         .select($"content").as[String].head()
       val tfs: Map[String, Int] = graft.analysis.Analysis.defaultTerms(content)
         .groupBy(_._1).map { case (t, xs) => t -> xs.size }
-      val dfs = docFreqs(tfs.keys.toSeq.sorted)
+      def isNoise(t: String): Boolean = {
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        bytes == 0 || minWordLen.exists(bytes < _) ||
+          maxWordLen.exists(bytes > _) || stopWords.contains(t)
+      }
+      val candidates = tfs.filter { case (t, _) => !isNoise(t) }
+      val dfs = docFreqs(candidates.keys.toSeq.sorted)
       val n = totalNumDocs
       // selection score in double so the DuckDB oracle's ordering replays
       // exactly; the emitted boost is the f32 of it (reference stores f32)
-      val selected: Seq[(String, Double)] = tfs.toSeq
-        .filter { case (t, tf) => tf >= minTf && dfs.getOrElse(t, 0L) >= minDf }
+      val selected: Seq[(String, Double)] = candidates.toSeq
+        .filter { case (t, tf) =>
+          val df = dfs.getOrElse(t, 0L)
+          tf >= minTf && df > 0 && df >= minDf && maxDf.forall(df <= _) }
         .map { case (t, tf) =>
           val df = dfs(t)
           (t, tf * math.log(1.0 + (n - df + 0.5) / (df + 0.5))) }
         .sortBy { case (t, s) => (-s, t) }
-        .take(maxTerms)
+        .take(maxTerms + 1)
       if (selected.isEmpty) spark.emptyDataset[ScoredDoc]
       else {
         val best = selected.map(_._2).max
         compileRaw(BoolQ(selected.map { case (t, s) =>
-          Occur.Should -> (BoostQ(TermQ(t), (s / best).toFloat): Query) }), fld)
+          Occur.Should -> (BoostQ(TermQ(t), (s * boostFactor / best).toFloat): Query) }), fld)
       }
     case p: PhraseQ => compilePhrase(p, fld)
     case rp: RegexPhraseQ =>

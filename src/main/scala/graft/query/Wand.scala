@@ -369,18 +369,40 @@ object Wand {
     multiTerm(searcher, present, weights, k, tau, withCount = false)._1
   }
 
+  /** DocId-range width of one multi-term task (see [[multiTerm]]): bounds
+    * per-task block residency at ~`terms * chunkDocs/128` blocks no matter
+    * how large a segment grows, and lets several tasks work one giant
+    * segment in parallel. 2^20 docs/chunk keeps every realistic segment in
+    * one chunk at test scale while capping the worst case (8-term query,
+    * saturated postings) near ~100 MB per task.
+    */
+  final val DefaultChunkDocs: Int = 1 << 20
+
   /** The shared multi-term stage: one pruned scan of the query terms'
-    * blocks, one narrow shuffle grouped by segment, per-segment BMW loop
-    * (plus the union count when `withCount`), driver merge.
+    * blocks, one narrow shuffle grouped by (segment, docId-range chunk),
+    * per-chunk BMW loop (plus the union count when `withCount`), driver
+    * merge.
+    *
+    * Chunking is sound because per-doc scores are computed entirely from
+    * that doc's block entries: a doc's postings for every term land in the
+    * SAME chunk (chunk = docId / chunkDocs), so each chunk's WAND sees
+    * complete scores for its docs, each chunk's top-k contains every doc of
+    * that chunk that can reach the global top-k (the same decomposability
+    * argument as the per-segment merge, `top_collector.rs:102-122`), and
+    * union counts add across disjoint chunks. A block straddling a chunk
+    * boundary is SLICED map-side (exact docId/tf/normId subarrays; the
+    * parent block-max metadata rides along as a still-valid upper bound).
     */
   private def multiTerm(searcher: Searcher, present: Seq[String],
                         weights: Map[String, Bm25.Weight], k: Int,
-                        tau: Float, withCount: Boolean): (Array[Hit], Long) = {
+                        tau: Float, withCount: Boolean,
+                        chunkDocs: Int = DefaultChunkDocs): (Array[Hit], Long) = {
     val spark = searcher.spark
     import spark.implicits._
     val wB = spark.sparkContext.broadcast(weights)
     val sumMax = present.map(weights(_).maxScore).sum
     val tauB = tau
+    val cw = chunkDocs
 
     val rows = searcher.postings
       .where(col("field") === searcher.field && col("term").isin(present: _*))
@@ -400,13 +422,34 @@ object Wand {
         }
       }
 
-    val fruits = rows.groupByKey(_._1).mapGroups { (segId, it) =>
-      // materialize this segment's blocks per term, ordered by blockId
+    // slice each block into its docId-range chunk(s); the common case
+    // (block entirely inside one chunk) passes the arrays through untouched
+    val chunked = rows.flatMap { case (segId, term, blockId, lastDoc, mN, mT, ds, tfs, ns) =>
+      val lo = ds(0) / cw
+      val hi = lastDoc / cw
+      if (lo == hi)
+        Iterator.single((segId, lo, term, blockId, Block(lastDoc, mN, mT, ds, tfs, ns)))
+      else (lo to hi).iterator.flatMap { c =>
+        val from = lowerBound(ds, c.toLong * cw)
+        val until = lowerBound(ds, (c + 1).toLong * cw)
+        if (from == until) Iterator.empty
+        else {
+          val d2 = java.util.Arrays.copyOfRange(ds, from, until)
+          Iterator.single((segId, c, term, blockId, Block(d2(d2.length - 1), mN, mT,
+            d2, java.util.Arrays.copyOfRange(tfs, from, until),
+            java.util.Arrays.copyOfRange(ns, from, until))))
+        }
+      }
+    }
+
+    val fruits = chunked.groupByKey(r => (r._1, r._2)).mapGroups { (key, it) =>
+      val segId = key._1
+      // materialize this chunk's blocks per term, ordered by blockId
       val byTerm = scala.collection.mutable.Map.empty[String,
         scala.collection.mutable.ArrayBuffer[(Int, Block)]]
-      it.foreach { case (_, term, blockId, lastDoc, mN, mT, ds, tfs, ns) =>
+      it.foreach { case (_, _, term, blockId, blk) =>
         byTerm.getOrElseUpdate(term, scala.collection.mutable.ArrayBuffer.empty) +=
-          ((blockId, Block(lastDoc, mN, mT, ds, tfs, ns)))
+          ((blockId, blk))
       }
       val ws = wB.value
       val perTerm = byTerm.toSeq.sortBy(_._1)
@@ -431,5 +474,25 @@ object Wand {
       .sortBy(h => (-h.score, h.segId, h.docId))
       .take(k)
     (hits, if (withCount) fruits.map(_._2).sum else -1L)
+  }
+
+  /** First index in the sorted array with value >= target. */
+  private def lowerBound(a: Array[Int], target: Long): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (a(mid) < target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Test seam: run the multi-term stage at a forced chunk width. */
+  private[graft] def multiTermForTest(searcher: Searcher, terms: Seq[String], k: Int,
+                                      chunkDocs: Int): (Array[Hit], Long) = {
+    val weights = searcher.weightsFor(terms)
+    val present = terms.distinct.filter(weights.contains).sorted
+    if (present.isEmpty) return (Array.empty, 0L)
+    multiTerm(searcher, present, weights, k, tau = Float.MinValue,
+      withCount = true, chunkDocs = chunkDocs)
   }
 }

@@ -39,6 +39,23 @@ object StreamIngest {
       }
       .start()
 
+  /** [[start]] for an arbitrary-schema streaming DataFrame (multi-field
+    * schemas carry extra columns beyond SourceFile — typed fields, arrays,
+    * JSON — which the builder indexes per its IndexConfig). Named rather
+    * than overloaded: `Dataset[SourceFile]` and `DataFrame` erase to the
+    * same JVM signature.
+    */
+  def startDf(spark: SparkSession, stream: DataFrame, indexDir: String,
+              cfg: IndexConfig = IndexConfig(),
+              trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitBatch(spark, batch.toDF(), indexDir, cfg, batchId)
+      }
+      .start()
+
   /** One micro-batch commit (exposed for tests / manual batching). */
   def commitBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
                   cfg: IndexConfig, batchId: Long): Unit = {

@@ -35,6 +35,41 @@ class DatePrecisionSpec extends AnyFunSuite {
     assert(parsed == parsed.sortBy(_.toEpochMilli))
   }
 
+  test("nanosecond precision: native resolution, canonical 9-digit width") {
+    val in = "2020-01-05T12:34:56.123956789+02:00"
+    // nanos is the DateTime's native resolution (`common/src/datetime.rs:24`)
+    // — truncation is the identity, all nine digits survive
+    assert(Analysis.canonicalDate(in, "nanos")
+      == Some("2020-01-05T10:34:56.123956789Z"))
+    // shorter fractions zero-pad to the canonical 9-digit width
+    assert(Analysis.canonicalDate("2020-01-05T00:00:00.5Z", "nanos")
+      == Some("2020-01-05T00:00:00.500000000Z"))
+    assert(Analysis.canonicalDate("2020-01-05T00:00:00Z", "nanos")
+      == Some("2020-01-05T00:00:00.000000000Z"))
+    // truncation PARITY down the precision ladder: the same instant through
+    // each chain drops exactly the sub-precision digits, never rounds
+    assert(Analysis.canonicalDate(in, "micros")
+      == Some("2020-01-05T10:34:56.123956Z"))
+    assert(Analysis.canonicalDate(in, "millis")
+      == Some("2020-01-05T10:34:56.123Z"))
+    assert(Analysis.canonicalDate(in)
+      == Some("2020-01-05T10:34:56Z"))
+    val toks = Analysis.analyzeChain("date_nanos", "2020-01-05T00:00:00.000000299Z")
+    assert(toks.map(_.text) == Seq("2020-01-05T00:00:00.000000299Z"))
+  }
+
+  test("lexicographic == chronological for nanos terms") {
+    val instants = Seq(
+      "2019-12-31T23:59:59.999999999Z", "2020-01-01T00:00:00Z",
+      "2020-01-01T00:00:00.000000001Z", "2020-01-01T00:00:00.000000010Z",
+      "2020-01-01T00:00:00.00000002Z", "2020-01-01T00:00:00.000001Z",
+      "2020-01-01T00:00:00.001Z", "2020-01-01T00:00:01Z")
+    val canon = instants.map(s => Analysis.canonicalDate(s, "nanos").get)
+    assert(canon == canon.sorted)
+    val parsed = canon.map(s => java.time.OffsetDateTime.parse(s).toInstant)
+    assert(parsed == parsed.sortBy(i => (i.getEpochSecond, i.getNano)))
+  }
+
   test("the date_millis analyzer chain emits the truncated canonical term") {
     val toks = Analysis.analyzeChain("date_millis", "2020-01-05T00:00:00.500999Z")
     assert(toks.map(_.text) == Seq("2020-01-05T00:00:00.500Z"))
