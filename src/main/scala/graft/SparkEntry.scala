@@ -522,13 +522,21 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("uniq"))
         .orderBy("event_type")),
-    // sketch paths for the 100 TB tier (HLL++ / KLL; different sketches than
-    // the reference's, so rows-only checks — SURVEY.md §2.8 notes non-parity)
+    // Spark's built-in HLL++ sketch (different hash than anything
+    // replayable, so rows-only); the oracle-GATED sketch twin is
+    // agg_cardinality_hll below
     "agg_cardinality_approx" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("uniq_approx"))
         .orderBy("event_type")),
+    // HyperLogLog with a cross-engine-replayable md5 hash (ops/Hll.scala):
+    // every register and the final estimate hash-gated by the DuckDB
+    // replay — the same algorithm family as the reference's cardinality
+    // agg, whose salted-SipHash registers cannot be replayed in SQL
+    "agg_cardinality_hll" -> ((s, dir) =>
+      graft.ops.Hll.cardinality(
+        s.read.parquet(s"$dir/events.parquet"), "user_id", "event_type")),
     // flattened to scalar columns: an array<double> output column crashed the
     // driver's pandas comparator in round 1 (unhashable ndarray in sort_values)
     "agg_percentiles_approx" -> ((s, dir) =>
@@ -538,6 +546,16 @@ object SparkEntry {
         .select(col("l_returnflag"),
           col("pcts")(0).as("p25"), col("pcts")(1).as("p50"), col("pcts")(2).as("p95"))
         .orderBy("l_returnflag")),
+    // DDSketch percentiles — the reference's own sketch family at its
+    // default accuracy (`metric/percentiles.rs:212-217`, alpha = 0.01),
+    // rebuilt as a fully-mergeable (group, bucket-key) count table with a
+    // relational quantile walk; the oracle replays every bucket key,
+    // cumulative rank cut and representative value bit-for-bit (see
+    // ops/DdSketch.scala for the crate-parity caveat)
+    "agg_percentiles_ddsketch" -> ((s, dir) =>
+      graft.ops.DdSketch.percentiles(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_quantity", "l_returnflag",
+        Seq(25, 50, 75, 95))),
     // ---- nested sub-aggregation tree (agg_req.rs:120-171) ----
     // terms bucket with metric sub-aggs per bucket: ES {terms: {aggs:
     // {stats}}} — the whole tree is ONE groupBy (single shuffle).
@@ -721,10 +739,16 @@ object SparkEntry {
       val df = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.bruteForceTopK(df, "vec_id", "embedding", queryVec(s, dir), 20)
     },
-    // approximate path: recall < 1 by construction => rows-only check
+    // approximate path, oracle-CHECKED since round 3 (the SQL twin replays
+    // the integer hyperplanes + probe set bit-for-bit). The probe radius is
+    // DERIVED from a scan budget: targetScanFrac 0.035 of the bucket space
+    // => radius 1 under NumPlanes = 8 (Σ C(8,i)/256 = 9/256 ≈ 3.5%), the
+    // Hamming-1 set the oracle encodes — the caller states a budget, the
+    // engine picks the radius (Similarity.radiusForScanFraction)
     "ann_lsh_topk" -> { (s, dir) =>
       val df = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.lshTopK(df, "vec_id", "embedding", queryVec(s, dir), 20)
+      Similarity.lshTopKAdaptive(df, "vec_id", "embedding", queryVec(s, dir), 20,
+        targetScanFrac = 0.035)
     },
     // IVF coarse-quantizer path (deterministic spherical k-means, probe the
     // nProbe nearest centroid lists): approximate => rows-only check
@@ -1212,6 +1236,31 @@ object SparkEntry {
         |round(quantile_cont(l_quantity, 0.75e0), 6) AS p75,
         |round(quantile_cont(l_quantity, 0.95e0), 6) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // DDSketch replay (paper §2.1, alpha = 0.01): bucket key =
+    // ceil(log_gamma v) with the log-ratio rounded to 9 decimals before
+    // ceil (cross-engine ln ulp guard), quantile = first bucket whose
+    // cumulative count exceeds q*(n-1), value = 2*gamma^k/(gamma+1)
+    "agg_percentiles_ddsketch" ->
+      """WITH b AS (SELECT l_returnflag,
+        |        CASE WHEN CAST(l_quantity AS DOUBLE) < 1e-9 THEN -1000000
+        |             ELSE CAST(ceil(round(ln(CAST(l_quantity AS DOUBLE))
+        |                  / ln((1e0+0.01e0)/(1e0-0.01e0)), 9)) AS BIGINT) END AS k,
+        |        count(*) AS cnt
+        |      FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity >= 0 GROUP BY 1, 2),
+        |c AS (SELECT *, sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY k) AS cum,
+        |             sum(cnt) OVER (PARTITION BY l_returnflag) AS n FROM b),
+        |p AS (SELECT l_returnflag,
+        |        min(CASE WHEN cum > 0.25e0 * (n-1) THEN k END) AS k25,
+        |        min(CASE WHEN cum > 0.50e0 * (n-1) THEN k END) AS k50,
+        |        min(CASE WHEN cum > 0.75e0 * (n-1) THEN k END) AS k75,
+        |        min(CASE WHEN cum > 0.95e0 * (n-1) THEN k END) AS k95
+        |      FROM c GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round(CASE WHEN k25 = -1000000 THEN 0e0 ELSE 2e0 * power((1e0+0.01e0)/(1e0-0.01e0), k25) / ((1e0+0.01e0)/(1e0-0.01e0) + 1e0) END, 6) AS p25,
+        |  round(CASE WHEN k50 = -1000000 THEN 0e0 ELSE 2e0 * power((1e0+0.01e0)/(1e0-0.01e0), k50) / ((1e0+0.01e0)/(1e0-0.01e0) + 1e0) END, 6) AS p50,
+        |  round(CASE WHEN k75 = -1000000 THEN 0e0 ELSE 2e0 * power((1e0+0.01e0)/(1e0-0.01e0), k75) / ((1e0+0.01e0)/(1e0-0.01e0) + 1e0) END, 6) AS p75,
+        |  round(CASE WHEN k95 = -1000000 THEN 0e0 ELSE 2e0 * power((1e0+0.01e0)/(1e0-0.01e0), k95) / ((1e0+0.01e0)/(1e0-0.01e0) + 1e0) END, 6) AS p95
+        |FROM p ORDER BY l_returnflag""".stripMargin,
     "agg_terms_top" ->
       """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
         |ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
@@ -1229,6 +1278,32 @@ object SparkEntry {
     "agg_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // full HLL replay (ops/Hll.scala): 60-bit md5-prefix hash parsed with
+    // the hex list_reduce, p=12 registers, rho from bin() bit length,
+    // EXACT integer register sum (2^(49-r)), alpha_m estimator with the
+    // linear-counting small-range branch — bit-for-bit vs the Spark side
+    "agg_cardinality_hll" ->
+      """WITH hx AS (SELECT event_type,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(substring(md5(CAST(user_id AS VARCHAR)), 1, 15), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |         (a, b) -> a * 16 + b) AS h
+        |     FROM events WHERE user_id IS NOT NULL),
+        |rw AS (SELECT event_type, h // 281474976710656 AS j, h % 281474976710656 AS w FROM hx),
+        |rg AS (SELECT event_type, j,
+        |              max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS r
+        |       FROM rw GROUP BY 1, 2),
+        |pg AS (SELECT event_type, count(*) AS used,
+        |              CAST(sum(CAST(1 AS BIGINT) << (49 - r)) AS BIGINT) AS si
+        |       FROM rg GROUP BY 1)
+        |SELECT event_type,
+        |  round(CASE WHEN (0.7213e0/(1e0+1.079e0/4096)) * 4096 * 4096
+        |              / (CAST(si + (4096 - used) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) / power(2e0, 49)) <= 2.5e0 * 4096
+        |             AND (4096 - used) > 0
+        |        THEN 4096e0 * ln(4096e0 / CAST(4096 - used AS DOUBLE))
+        |        ELSE (0.7213e0/(1e0+1.079e0/4096)) * 4096 * 4096
+        |              / (CAST(si + (4096 - used) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) / power(2e0, 49)) END, 4) AS uniq_hll
+        |FROM pg ORDER BY event_type""".stripMargin,
     "agg_terms_with_stats" ->
       """SELECT event_type, count(*) AS cnt,
         |CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,

@@ -114,6 +114,40 @@ object Similarity {
       .map(m => s ^ m)
   }
 
+  /** Adaptive probe radius: the smallest Hamming radius whose probe set
+    * covers at least `targetScanFrac` of the bucket space (expected scan
+    * fraction = Σ_{i<=r} C(b, i) / 2^b under near-uniform occupancy, which
+    * random hyperplanes approach on isotropic data) — the caller states a
+    * scan BUDGET and the engine derives the radius. Pure arithmetic on
+    * (NumPlanes, targetScanFrac): no data pass, deterministic, replayable
+    * by any engine, and stable as the corpus grows (the budget is a
+    * fraction, not a row count).
+    */
+  def radiusForScanFraction(targetScanFrac: Double): Int = {
+    val total = 1L << NumPlanes
+    val want = targetScanFrac * total
+    var covered = 0L
+    var r = 0
+    covered += 1 // C(b, 0)
+    while (covered < want && r < NumPlanes) {
+      r += 1
+      covered += choose(NumPlanes, r)
+    }
+    r
+  }
+
+  private def choose(n: Int, k: Int): Long = {
+    var acc = 1L
+    for (i <- 1 to k) acc = acc * (n - i + 1) / i
+    acc
+  }
+
+  /** [[lshTopK]] with the radius derived from a target scan fraction. */
+  def lshTopKAdaptive(df: DataFrame, idCol: String, vecCol: String,
+                      query: Array[Double], k: Int,
+                      targetScanFrac: Double): DataFrame =
+    lshTopK(df, idCol, vecCol, query, k, radiusForScanFraction(targetScanFrac))
+
   /** ANN top-k: probe the query's bucket and all Hamming-<=radius
     * neighbors, rank probed candidates by exact cosine. Recall < 1 by
     * construction (that is the approximation); candidates scanned

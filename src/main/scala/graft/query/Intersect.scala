@@ -67,8 +67,8 @@ object Intersect {
     }
   }
 
-  private def collectSegments(searcher: Searcher, distinctTerms: Seq[String],
-                              needPositions: Boolean) = {
+  private[graft] def collectSegments(searcher: Searcher, distinctTerms: Seq[String],
+                                     needPositions: Boolean) = {
     val spark = searcher.spark
     import spark.implicits._
     val base = searcher.postings
@@ -112,7 +112,7 @@ object Intersect {
     * Bounds per-task residency for arbitrarily large segments AND lets
     * several tasks work one giant segment in parallel.
     */
-  private def chunkRows(
+  private[graft] def chunkRows(
       rows: org.apache.spark.sql.Dataset[(Int, String, Int, Array[Int], Array[Int], Array[Int], Array[Int], Array[Int])],
       chunkDocs: Int) = {
     import rows.sparkSession.implicits._

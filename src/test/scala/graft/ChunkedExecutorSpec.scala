@@ -69,6 +69,33 @@ class ChunkedExecutorSpec extends AnyFunSuite {
     assert(c0 > 0)
   }
 
+  test("per-task residency is BOUNDED by the chunk width") {
+    import spark.implicits._
+    // direct assertion on the chunked shuffle rows: within every
+    // (segId, chunk) group, each term holds at most `width` posting
+    // entries and every docId lies inside the chunk's range — the
+    // residency invariant that holds no matter how large a segment grows
+    val width = 64
+    val rows = Intersect.chunkRows(
+      Intersect.collectSegments(sr, Seq("alpha", "beta", "gamma"),
+        needPositions = true), width)
+      .map { case (segId, chunk, term, _, ds, _, _, pf, pl) =>
+        (segId, chunk, term, ds.length, ds.min, ds.max, pf.length, pl.sum) }
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (segId, chunk, term, n, lo, hi, pfLen, plSum) =>
+      assert(n <= width, s"$term in ($segId,$chunk): $n entries > width")
+      assert(lo >= chunk.toLong * width && hi < (chunk + 1).toLong * width,
+        s"$term in ($segId,$chunk): docId [$lo,$hi] outside range")
+      assert(pfLen == plSum, s"$term in ($segId,$chunk): CSR slice mismatch")
+    }
+    val perTask = rows.groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.map(_._4).sum }
+    // 3 query terms x width docs is the hard cap per task
+    assert(perTask.max <= 3 * width)
+    assert(perTask.size > 5, "expected several chunks per segment")
+  }
+
   test("phrase top-k: chunked == unchunked (CSR position slices)") {
     val p = PhraseQ.of("alpha", "beta")
     val (h0, c0) = Intersect.topKPhrase(sr, p, 10)

@@ -67,4 +67,17 @@ class IvfSpec extends AnyFunSuite {
     // one list of four balanced clusters: a quarter of the corpus
     assert(probed == 20L)
   }
+
+  test("LSH adaptive radius from scan budget (NumPlanes = 8)") {
+    // expected scan fraction of radius r = Σ_{i<=r} C(8, i) / 256:
+    // r0 = 1/256 ≈ 0.39%, r1 = 9/256 ≈ 3.5%, r2 = 37/256 ≈ 14.5%,
+    // r3 = 93/256 ≈ 36.3%
+    assert(Similarity.radiusForScanFraction(0.001) == 0)
+    assert(Similarity.radiusForScanFraction(1.0 / 256) == 0) // exactly r0
+    assert(Similarity.radiusForScanFraction(0.0165) == 1)
+    assert(Similarity.radiusForScanFraction(0.035) == 1)     // the entry's budget
+    assert(Similarity.radiusForScanFraction(0.10) == 2)
+    assert(Similarity.radiusForScanFraction(0.30) == 3)
+    assert(Similarity.radiusForScanFraction(1.0) == 8)       // whole space
+  }
 }
