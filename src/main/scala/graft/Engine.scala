@@ -162,7 +162,13 @@ object Engine {
   def streamIngestedSearcher(spark: SparkSession, sfDir: String): Searcher =
     streamSearchers.computeIfAbsent(sfDir, { _ =>
       val indexDir = indexDirFor(sfDir) + "-stream"
-      if (!Manifest.exists(indexDir)) {
+      // completion marker, NOT Manifest.exists: append republishes a valid
+      // manifest after EVERY micro-batch, so a run interrupted mid-stream
+      // leaves a manifest that looks finished but holds a corpus subset —
+      // only a marker written after awaitTermination proves all commits ran
+      val doneMarker = new java.io.File(indexDir, "_STREAM_COMPLETE")
+      if (!doneMarker.exists()) {
+        rmrf(new java.io.File(indexDir)) // wipe any partial ingest
         val stage = indexDir + "-in"
         spark.read.parquet(s"$sfDir/documents.parquet")
           .repartitionByRange(3, col("doc_id"))
@@ -174,9 +180,16 @@ object Engine {
           spark, projectDocuments(stream), indexDir, docsConfig,
           org.apache.spark.sql.streaming.Trigger.AvailableNow())
         q.awaitTermination()
+        rmrf(new java.io.File(stage)) // staging copy no longer needed
+        java.nio.file.Files.writeString(doneMarker.toPath, "done")
       }
       new Searcher(spark, indexDir)
     })
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+    f.delete(); ()
+  }
 
   /** Resolve an external doc_id to its (segId, docId) address. */
   def addressOf(sr: Searcher, docId: Long): (Int, Int) = {

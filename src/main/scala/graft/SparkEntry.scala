@@ -1075,7 +1075,10 @@ object SparkEntry {
     // full replay of the snippet fragmenter (`src/snippet/mod.rs:205-263`):
     // token char offsets from the split widths, greedy fragment cut points
     // via a recursive CTE (next start = first token whose end overflows
-    // start+100), tokens assigned to the latest cut at-or-before them,
+    // start+100; the t2.f > f.s guard keeps the recursion strictly
+    // advancing when one token alone exceeds maxNumChars — such a token
+    // forms its own fragment, as in the engine's searchFragments),
+    // tokens assigned to the latest cut at-or-before them,
     // fragments kept iff they contain a query-term occurrence, best = max
     // occurrence count (single-term query => score order == count order)
     // with earliest (start, stop) tie-break, highlights emitted as
@@ -1094,9 +1097,9 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, CAST(0 AS BIGINT) AS s FROM tk
         |  UNION ALL
         |  SELECT f.doc_id,
-        |         (SELECT min(t2.f) FROM tk t2 WHERE t2.doc_id = f.doc_id AND t2.e > f.s + 100) AS s
+        |         (SELECT min(t2.f) FROM tk t2 WHERE t2.doc_id = f.doc_id AND t2.f > f.s AND t2.e > f.s + 100) AS s
         |  FROM frag f
-        |  WHERE EXISTS (SELECT 1 FROM tk t2 WHERE t2.doc_id = f.doc_id AND t2.e > f.s + 100)),
+        |  WHERE EXISTS (SELECT 1 FROM tk t2 WHERE t2.doc_id = f.doc_id AND t2.f > f.s AND t2.e > f.s + 100)),
         |asg AS (SELECT tk.*, (SELECT max(fr.s) FROM frag fr
         |                      WHERE fr.doc_id = tk.doc_id AND fr.s <= tk.f) AS s FROM tk),
         |fs AS (SELECT doc_id, s, max(e) AS stop,
@@ -1373,9 +1376,12 @@ object SparkEntry {
         |CAST(0 AS BIGINT) AS doc_count_error_upper_bound
         |FROM b, t ORDER BY cnt DESC, event_type""".stripMargin,
     // segment-cutoff replay: per-shard rank cut at 2, error bound = Σ of
-    // each shard's rank-3 count, sum_other = total − Σ(returned doc_counts)
+    // each shard's rank-3 count, sum_other = total − Σ(returned doc_counts).
+    // ((x % 3) + 3) % 3 is DuckDB's spelling of Spark's pmod — SQL % keeps
+    // the sign of the dividend, so the two would shard negative user_ids
+    // differently without it
     "agg_terms_approx" ->
-      """WITH ps AS (SELECT user_id % 3 AS sh, event_type, count(*) AS cnt
+      """WITH ps AS (SELECT ((user_id % 3) + 3) % 3 AS sh, event_type, count(*) AS cnt
         |            FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
         |rk AS (SELECT *, row_number() OVER
         |         (PARTITION BY sh ORDER BY cnt DESC, event_type) AS rk FROM ps),

@@ -93,8 +93,10 @@ object Intersect {
     */
   private final val RARE_BROADCAST_MAX_DF: Long = 1L << 16
 
-  /** First index in the sorted array with value >= target. */
-  private def lowerBound(a: Array[Int], target: Long): Int = {
+  /** First index in the sorted array with value >= target (shared by both
+    * executors' chunk slicing — Wand.multiTerm calls it too).
+    */
+  private[query] def lowerBound(a: Array[Int], target: Long): Int = {
     var lo = 0; var hi = a.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1

@@ -425,13 +425,15 @@ object Wand {
     // slice each block into its docId-range chunk(s); the common case
     // (block entirely inside one chunk) passes the arrays through untouched
     val chunked = rows.flatMap { case (segId, term, blockId, lastDoc, mN, mT, ds, tfs, ns) =>
+      if (ds.isEmpty) Iterator.empty
+      else {
       val lo = ds(0) / cw
       val hi = lastDoc / cw
       if (lo == hi)
         Iterator.single((segId, lo, term, blockId, Block(lastDoc, mN, mT, ds, tfs, ns)))
       else (lo to hi).iterator.flatMap { c =>
-        val from = lowerBound(ds, c.toLong * cw)
-        val until = lowerBound(ds, (c + 1).toLong * cw)
+        val from = Intersect.lowerBound(ds, c.toLong * cw)
+        val until = Intersect.lowerBound(ds, (c + 1).toLong * cw)
         if (from == until) Iterator.empty
         else {
           val d2 = java.util.Arrays.copyOfRange(ds, from, until)
@@ -439,6 +441,7 @@ object Wand {
             d2, java.util.Arrays.copyOfRange(tfs, from, until),
             java.util.Arrays.copyOfRange(ns, from, until))))
         }
+      }
       }
     }
 
@@ -476,15 +479,8 @@ object Wand {
     (hits, if (withCount) fruits.map(_._2).sum else -1L)
   }
 
-  /** First index in the sorted array with value >= target. */
-  private def lowerBound(a: Array[Int], target: Long): Int = {
-    var lo = 0; var hi = a.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (a(mid) < target) lo = mid + 1 else hi = mid
-    }
-    lo
-  }
+  // chunk slicing shares Intersect.lowerBound — one binary search, one
+  // slicing semantics for both executors
 
   /** Test seam: run the multi-term stage at a forced chunk width. */
   private[graft] def multiTermForTest(searcher: Searcher, terms: Seq[String], k: Int,
