@@ -191,6 +191,34 @@ object Engine {
     f.delete(); ()
   }
 
+  private val compactSearchers = new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
+
+  /** Build + FULLY COMPACT + GC a twin index: all segments merged into one
+    * (`index/Merger.merge` — stacking docId remap, rank-keyed re-blocking,
+    * exact stats recompute), dead batch directories garbage-collected, and
+    * a Searcher pinned to the post-merge manifest. Queries over it must
+    * answer exactly like the multi-segment build — the driver-gated form
+    * of MergeSpec's merge ≡ build invariant (merge was the one §2.4 family
+    * previously covered by unit tests only). Uses the interruption-safe
+    * marker gate of the streaming twin: Merger commits a valid manifest
+    * after every step, so only the marker proves the merge+gc completed.
+    */
+  def compactedSearcher(spark: SparkSession, sfDir: String): Searcher =
+    compactSearchers.computeIfAbsent(sfDir, { _ =>
+      val indexDir = indexDirFor(sfDir) + "-compact"
+      val doneMarker = new java.io.File(indexDir, "_COMPACT_COMPLETE")
+      if (!doneMarker.exists()) {
+        rmrf(new java.io.File(indexDir))
+        IndexBuilder.build(spark, documentsAsSource(spark, sfDir), indexDir, docsConfig)
+        val meta = Manifest.read(indexDir)
+        graft.index.Merger.merge(spark, indexDir, docsConfig,
+          meta.segments.map(_.segId), meta.segments.map(_.segId).max + 1)
+        Manifest.gc(indexDir)
+        java.nio.file.Files.writeString(doneMarker.toPath, "done")
+      }
+      new Searcher(spark, indexDir)
+    })
+
   /** Resolve an external doc_id to its (segId, docId) address. */
   def addressOf(sr: Searcher, docId: Long): (Int, Int) = {
     val spark = sr.spark

@@ -127,6 +127,15 @@ object SparkEntry {
         Occur.Should -> TermQ("hash")), minShouldMatch = 2))),
     "ft_phrase" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir), PhraseQ.of("batch", "batch"))),
+    // merged-index twins (`index/Merger`, §2.4 — previously unit-test-only,
+    // now driver-gated): the fully-compacted single-segment index answers
+    // through the SAME oracles as the 4-segment build. Phrase exercises the
+    // merge's CSR position remap; top-k the exact global-stats recompute
+    // (BM25 depends on N/avgdl, which merge must preserve bit-for-bit)
+    "ft_merged_phrase" -> ((s, dir) =>
+      Engine.docIds(Engine.compactedSearcher(s, dir), PhraseQ.of("batch", "batch"))),
+    "ft_merged_topk" -> ((s, dir) =>
+      Engine.topKShouldF64(Engine.compactedSearcher(s, dir), Seq("spark", "merge"), 20)),
     "ft_phrase_slop" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
         PhraseQ(Seq(0 -> "spark", 1 -> "window"), slop = 1))),
@@ -944,6 +953,15 @@ object SparkEntry {
       s"""WITH $posCte SELECT DISTINCT a.doc_id AS doc_id FROM pos a
          |JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
          |WHERE a.t = 'batch' AND b.t = 'batch' ORDER BY doc_id""".stripMargin,
+    // the merged index must reproduce the un-merged oracles exactly
+    "ft_merged_phrase" ->
+      s"""WITH $posCte SELECT DISTINCT a.doc_id AS doc_id FROM pos a
+         |JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |WHERE a.t = 'batch' AND b.t = 'batch' ORDER BY doc_id""".stripMargin,
+    "ft_merged_topk" ->
+      s"""WITH ${bmCtes(Seq("spark", "merge"))}
+         |SELECT doc_id, round(sum(sc), 6) AS score FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "ft_phrase_slop" ->
       s"""WITH $posCte SELECT DISTINCT a.doc_id AS doc_id FROM pos a
          |JOIN pos b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i + 1 AND a.i + 2
@@ -1078,7 +1096,13 @@ object SparkEntry {
     // start+100; the t2.f > f.s guard keeps the recursion strictly
     // advancing when one token alone exceeds maxNumChars — such a token
     // forms its own fragment, as in the engine's searchFragments),
-    // tokens assigned to the latest cut at-or-before them,
+    // tokens assigned to the latest cut at-or-before them.
+    // Validity domain: the replay space-splits the raw text, so it is
+    // exact while every corpus token is < 40 UTF-8 bytes (the default
+    // chain's RemoveLongFilter drops longer tokens BEFORE the fragmenter,
+    // shifting cut points the SQL would still count) — true of this
+    // synthetic corpus (max token 8 bytes) and asserted obvious if ever
+    // violated: the entry hash-fails rather than silently passing,
     // fragments kept iff they contain a query-term occurrence, best = max
     // occurrence count (single-term query => score order == count order)
     // with earliest (start, stop) tie-break, highlights emitted as
