@@ -136,6 +136,22 @@ object SparkEntry {
       Engine.docIds(Engine.compactedSearcher(s, dir), PhraseQ.of("batch", "batch"))),
     "ft_merged_topk" -> ((s, dir) =>
       Engine.topKShouldF64(Engine.compactedSearcher(s, dir), Seq("spark", "merge"), 20)),
+    // space-usage introspection (`src/space_usage/mod.rs`, §2.1 — the last
+    // tests-only family): the content field's LOGICAL units summed across
+    // segments are segmentation-independent — Σ per-segment per-term df =
+    // global distinct (doc, term) pairs, Σ positions = total tokens — so
+    // the DuckDB oracle replays them from the raw corpus without knowing
+    // the (hash-deterministic) segment assignment
+    "ft_space_usage" -> { (s, dir) =>
+      import s.implicits._
+      val sr = Engine.searcher(s, dir)
+      val u = sr.spaceUsage
+      val fields = u.segments.flatMap(_.perField).filter(_.field == "content")
+      val globalTerms = sr.allTermsFor("content").count()
+      Seq(("content", fields.map(_.totalDocFreq).sum,
+        fields.map(_.totalPositions).sum, globalTerms))
+        .toDF("field", "total_doc_freq", "total_positions", "num_terms")
+    },
     "ft_phrase_slop" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
         PhraseQ(Seq(0 -> "spark", 1 -> "window"), slop = 1))),
@@ -962,6 +978,15 @@ object SparkEntry {
       s"""WITH ${bmCtes(Seq("spark", "merge"))}
          |SELECT doc_id, round(sum(sc), 6) AS score FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the introspection's logical units, replayed from the raw corpus:
+    // Σ per-segment per-term df = distinct (doc, term) pairs, Σ positions
+    // = total tokens, dictionary size = distinct tokens
+    "ft_space_usage" ->
+      s"""WITH $tokCte
+         |SELECT 'content' AS field,
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT doc_id, t FROM tok)) AS BIGINT) AS total_doc_freq,
+         |  CAST((SELECT count(*) FROM tok) AS BIGINT) AS total_positions,
+         |  CAST((SELECT count(DISTINCT t) FROM tok) AS BIGINT) AS num_terms""".stripMargin,
     "ft_phrase_slop" ->
       s"""WITH $posCte SELECT DISTINCT a.doc_id AS doc_id FROM pos a
          |JOIN pos b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i + 1 AND a.i + 2
