@@ -494,12 +494,37 @@ object IndexBuilder {
         // bound is unchanged. Row groups are written small (PRUNE_BLOCK_BYTES)
         // because they are the pruning granularity: the default 128 MB group
         // spans a file's whole term range and prunes nothing.
-        val blocks = analyzed
-          .select($"segId", $"docId", $"field", $"term", $"tf", $"normId", $"positions")
-          .as[(Int, Int, String, String, Int, Int, Array[Int])]
-          .repartition($"segId", $"field", $"term")
-          .sortWithinPartitions($"field", $"term", $"segId", $"docId")
-          .mapPartitions(rows => buildBlocks(rows, avgFnB.value, blockSize))
+        // Two shuffle-volume reductions on the dominant stage (the posting
+        // rows), both restored post-shuffle where it is free:
+        //  - the field STRING becomes a dictionary index into the (tiny,
+        //    driver-known) field list — the name rode every row as ~16
+        //    UnsafeRow bytes, the int costs its 8-byte slot, and int sort
+        //    keys compare faster than string prefixes;
+        //  - positions-off builds drop the (always-empty) positions column
+        //    — the var-length array header still costs ~16 bytes per row in
+        //    the sorter and shuffle files.
+        // Measured together: ~10% off the whole build at local[16].
+        val fieldNames: Array[String] = (cfg.field +: extras.map(_.name)).toArray
+        val fieldIdx: Map[String, Int] = fieldNames.zipWithIndex.toMap
+        val blocks =
+          if (!withPos)
+            analyzed
+              .map(r => (r.segId, r.docId, fieldIdx(r.field), r.term, r.tf, r.normId))
+              .repartition($"_1", $"_3", $"_4")
+              .sortWithinPartitions($"_3", $"_4", $"_1", $"_2")
+              .mapPartitions(rows => buildBlocks(
+                rows.map { case (s, d, fi, t, tf, n) =>
+                  (s, d, fieldNames(fi), t, tf, n, Array.emptyIntArray) },
+                avgFnB.value, blockSize))
+          else
+            analyzed
+              .map(r => (r.segId, r.docId, fieldIdx(r.field), r.term, r.tf, r.normId, r.positions))
+              .repartition($"_1", $"_3", $"_4")
+              .sortWithinPartitions($"_3", $"_4", $"_1", $"_2")
+              .mapPartitions(rows => buildBlocks(
+                rows.map { case (s, d, fi, t, tf, n, ps) =>
+                  (s, d, fieldNames(fi), t, tf, n, ps) },
+                avgFnB.value, blockSize))
         blocks.write.mode("overwrite")
           .option("parquet.block.size", PRUNE_BLOCK_BYTES)
           .parquet(s"$indexDir/postings/batch=$b")
