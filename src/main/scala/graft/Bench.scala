@@ -15,8 +15,12 @@ import graft.query.Searcher
   *    disjunction / phrase top-k) against the warm index.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_BENCH_DOCS
-  * (CorpusGen corpus size, default 1200000), SPARK_GRAFT_SCALING=0 to skip
-  * the two-level scaling phase (local iteration).
+  * (CorpusGen corpus size, default 4800000), SPARK_GRAFT_SCALING=0 to skip
+  * the two-level scaling phase (local iteration),
+  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 3000) — the HARD wall-clock budget:
+  * the adaptive scaling loop stops when the next rep's predicted cost no
+  * longer fits, later phases are skipped once the budget is gone, and the
+  * JSON line (with `converged:false` if cut short) is always emitted.
   */
 object Bench {
 
@@ -166,19 +170,29 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // HARD wall-clock budget for the whole bench: the round-4 driver run
+    // was killed (rc 124, no JSON) while the adaptive scaling loop was
+    // still converging — partial truth beats a timeout, so every phase
+    // below checks `remaining` and the JSON line is emitted no matter how
+    // far we got, with `converged:false` when the loop was cut short.
+    val benchStart = System.nanoTime()
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000").toDouble
+    // wall-clock reserved for the query/ANN phases after the scaling loop
+    val queryReserve = sys.env.getOrElse("SPARK_GRAFT_QUERY_RESERVE_SEC", "900").toDouble
+    def remaining: Double = budgetSec - (System.nanoTime() - benchStart) / 1e9
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // 7.2M docs: the build has ~30 s of unavoidable per-run serial cost
+    // 4.8M docs: the build has ~30 s of unavoidable per-run serial cost
     // (driver plan/schedule/commit across 5 jobs plus last-wave stragglers);
     // the corpus must be large enough that the parallel fraction dominates
     // at the 4N level, or the measurement reports Amdahl on the harness
-    // rather than the engine. The round-4 shuffle-width optimization cut
-    // the PARALLEL work ~30%, which shrank the parallel fraction at the old
-    // 3.6M default (measured natural ceiling ~0.78-0.82 there, right at
-    // the gate); doubling the corpus restores the regime the gate
-    // describes (Amdahl with W≈3.5e-4 core-s/doc, c≈30 s: eff ≈ 0.88 at
-    // 7.2M). At the 10^12-file production scale each partition-batch is
-    // days of parallel work against the same seconds of fixed cost.
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "7200000").toLong
+    // rather than the engine (at the 10^12-file production scale each
+    // partition-batch is days of parallel work against the same seconds of
+    // fixed cost). Round 4 used 7.2M, which the driver's time budget could
+    // not fit (rc 124); 4.8M keeps the parallel fraction dominant (Amdahl
+    // with W≈3.5e-4 core-s/doc, c≈30 s predicts eff ≈ 0.85) while two to
+    // three adaptive reps plus the query phases fit the budget.
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4800000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     // N vs 4N parallelism pair. Default 4/16, NOT 8/32: the sandbox's 32
     // vCPUs are 16 physical cores x 2 hyperthreads, and a pure-CPU control
@@ -204,6 +218,8 @@ object Bench {
     // on identical code). SPARK_GRAFT_SCALING_MODE=jvm falls back to the
     // in-process local[N] thread-parallelism protocol.
     var fpsLo = 0.0; var fpsHi = 0.0
+    var converged = false
+    var scalingReps = 0
     val childMode = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "cluster") != "jvm" &&
       new java.io.File(s"${sys.env.getOrElse("SPARK_HOME", "/opt/spark")}/bin/spark-submit").exists()
     if (doScaling) {
@@ -222,7 +238,7 @@ object Bench {
       // to reach 0.816 (hi samples swung 14.4-24.6k); once lo has converged
       // an extra rep costs only the short hi builds and best-of-n can only
       // improve, so the ceiling is cheap insurance for the gate
-      val minReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+      val minReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt
       val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_MAX_REPS", "8").toInt
       val hiOver = sys.env.getOrElse("SPARK_GRAFT_HI_OVERSAMPLE", "2").toInt
       val gate = sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "0.82").toDouble
@@ -233,13 +249,34 @@ object Bench {
         val top = loS.sorted.takeRight(2)
         top.length == 2 && top.head >= 0.98 * top.last
       }
+      // measured wall time of the last child at each level — the predictor
+      // for the budget check below (first-rep estimates assume a throttled
+      // host: ~5k files/s at lo, ~15k at hi, plus JVM+warmup overhead)
+      var loDur = nDocs / 5000.0 + 90.0
+      var hiDur = hiOver * nDocs / 15000.0 + 90.0
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
       var r = 0
       var stop = false
       while (r < maxReps && !stop) {
+        // TIME-BOX (the round-4 failure mode): launch the next rep only if
+        // its predicted cost fits the budget left after the query phases'
+        // reserve. The first rep always runs — best-so-far lo/hi from one
+        // rep beats no numbers at all.
+        val nextRepCost = (if (loConverged) 0.0 else loDur) + hiDur
+        if (r > 0 && remaining - queryReserve < nextRepCost * 1.1) {
+          log(f"scaling budget exhausted after rep $r (remaining $remaining%.0f s, " +
+            f"next rep ~$nextRepCost%.0f s); emitting best-so-far")
+          stop = true
+        } else {
         r += 1
         if (useChild) {
-          val lo = if (loConverged) Nil else scalingChildRun(cpusLo, nDocs, 1)
-          val hi = scalingChildRun(cpusHi, nDocs, hiOver)
+          val (lo, ld) = if (loConverged) (Nil, 0.0)
+                         else timed(scalingChildRun(cpusLo, nDocs, 1))
+          val (hi, hd) = timed(scalingChildRun(cpusHi, nDocs, hiOver))
+          if (ld > 0) loDur = ld
+          hiDur = hd
           if ((lo.isEmpty && !loConverged) || hi.isEmpty) {
             log("scaling child failed; falling back to in-JVM local[N] protocol")
             useChild = false
@@ -251,108 +288,133 @@ object Bench {
             buildThroughput(cpusLo, warmDocs, 1)
             buildThroughput(cpusHi, warmDocs, 1)
           }
-          if (!loConverged) loS += buildThroughput(cpusLo, nDocs, 1)
-          hiS += buildThroughput(cpusHi, nDocs, hiOver)
+          if (!loConverged) {
+            val (v, d) = timed(buildThroughput(cpusLo, nDocs, 1)); loS += v; loDur = d
+          }
+          val (v, d) = timed(buildThroughput(cpusHi, nDocs, hiOver)); hiS += v; hiDur = d
         }
         if (loS.nonEmpty && hiS.nonEmpty) {
           fpsLo = loS.max; fpsHi = hiS.max
           val eff = fpsHi / (4.0 * fpsLo)
           log(f"scaling after rep $r: lo ${fpsLo}%.0f hi ${fpsHi}%.0f eff $eff%.3f" +
             s" (loConverged=$loConverged)")
-          stop = r >= minReps && loConverged && eff >= gate
+          if (r >= minReps && loConverged && eff >= gate) { converged = true; stop = true }
+        }
         }
       }
+      scalingReps = r
     }
     val efficiency = if (fpsLo > 0) fpsHi / (4.0 * fpsLo) else 0.0
 
-    // ---- phase B: query latency over the sfDir documents index
+    // ---- phases B-D run inside the query reserve; each is wrapped so a
+    // failure or an exhausted budget still emits the JSON line with the
+    // fields gathered so far (zeros/empty mean "phase skipped").
+    var perQuery = Map.empty[String, Double]
+    var qdisp = "{}"
+    var p50 = 0.0; var p95 = 0.0
+    var qsP50 = 0.0; var qsP95 = 0.0; var qsN = 0
+    var lshRecall = 0.0; var ivfRecall = 0.0; var ivfFracScanned = 0.0
+    val qsDocs = sys.env.getOrElse("SPARK_GRAFT_QS_DOCS", "600000").toLong
+
     val spark = session(32)
     // per-query shuffles move kilobytes; at interactive latency the task
     // count IS the cost, so shrink the reduce side for the query phases
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    val sr = Engine.searcher(spark, sfDir)
-    // warm the cached segment tables once
-    sr.postings.count(); sr.docmap.count(); sr.termdict.count()
 
-    import graft.query._
-    val querySet: Seq[(String, () => Unit)] = Seq(
-      "q_term_wand" -> (() => { sr.topDocsWand(Seq("spark"), 10); () }),
-      "q_disj2_wand" -> (() => { sr.topDocsWand(Seq("spark", "merge"), 10); () }),
-      "q_disj3_wand" -> (() => { sr.topDocsWand(Seq("spark", "merge", "order"), 10); () }),
-      "q_must2" -> (() => { sr.topDocs(BoolQ(Seq(
-        Occur.Must -> TermQ("spark"), Occur.Must -> TermQ("merge"))), 10); () }),
-      "q_phrase" -> (() => { sr.topDocs(PhraseQ.of("batch", "batch"), 10); () }),
-      "q_count" -> (() => { sr.count(TermQ("join")); () })
-    )
-    // timed runs: INTERLEAVED repetitions (rep-major, not query-major) so a
-    // host noise burst degrades one rep of every query instead of every rep
-    // of one query — the r02 driver window recorded q_term_wand +55% while
-    // the pooled 60-query set improved 30%, the signature of a burst landing
-    // on one query's contiguous rep block. Per-query median of 11.
-    val reps = 11
-    val perQuery = scala.collection.mutable.Map.empty[String, Double]
-    val all = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val samples = scala.collection.mutable.Map.empty[String,
-      scala.collection.mutable.ArrayBuffer[Double]]
-    querySet.foreach { case (name, fn) =>
-      fn() // warmup (plan compilation, stats collection)
-      samples(name) = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def phaseGuard(name: String)(body: => Unit): Unit =
+      if (remaining < 60) log(s"phase $name skipped: budget exhausted")
+      else scala.util.Try(body).failed.foreach(e =>
+        log(s"phase $name failed: ${e.getMessage}"))
+
+    // ---- phase B: query latency over the sfDir documents index
+    phaseGuard("B(query-latency)") {
+      val sr = Engine.searcher(spark, sfDir)
+      // warm the cached segment tables once
+      sr.postings.count(); sr.docmap.count(); sr.termdict.count()
+
+      import graft.query._
+      val querySet: Seq[(String, () => Unit)] = Seq(
+        "q_term_wand" -> (() => { sr.topDocsWand(Seq("spark"), 10); () }),
+        "q_disj2_wand" -> (() => { sr.topDocsWand(Seq("spark", "merge"), 10); () }),
+        "q_disj3_wand" -> (() => { sr.topDocsWand(Seq("spark", "merge", "order"), 10); () }),
+        "q_must2" -> (() => { sr.topDocs(BoolQ(Seq(
+          Occur.Must -> TermQ("spark"), Occur.Must -> TermQ("merge"))), 10); () }),
+        "q_phrase" -> (() => { sr.topDocs(PhraseQ.of("batch", "batch"), 10); () }),
+        "q_count" -> (() => { sr.count(TermQ("join")); () })
+      )
+      // timed runs: INTERLEAVED repetitions (rep-major, not query-major) so a
+      // host noise burst degrades one rep of every query instead of every rep
+      // of one query — the r02 driver window recorded q_term_wand +55% while
+      // the pooled 60-query set improved 30%, the signature of a burst landing
+      // on one query's contiguous rep block. Per-query median of 11.
+      val reps = 11
+      val all = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val samples = scala.collection.mutable.Map.empty[String,
+        scala.collection.mutable.ArrayBuffer[Double]]
+      querySet.foreach { case (name, fn) =>
+        fn() // warmup (plan compilation, stats collection)
+        samples(name) = scala.collection.mutable.ArrayBuffer.empty[Double]
+      }
+      for (_ <- 0 until reps; (name, fn) <- querySet) {
+        val t0 = System.nanoTime(); fn()
+        samples(name) += (System.nanoTime() - t0) / 1e6
+      }
+      perQuery = querySet.map { case (name, _) =>
+        val sorted = samples(name).sorted
+        all ++= sorted
+        log(f"$name: p50 ${sorted(sorted.length / 2)}%.0f ms " +
+          f"(min ${sorted.head}%.0f, max ${sorted.last}%.0f)")
+        name -> sorted(sorted.length / 2) / 1000.0 // median, seconds
+      }.toMap
+      // per-query rep-level dispersion: a host-throttle burst shows up as
+      // max >> min within one query's reps (r02/r03 each had one query's
+      // driver p50 swing 2x while the pooled set improved — with min/max in
+      // the JSON such a window is machine-detectable instead of re-litigated)
+      qdisp = querySet.map(_._1).sorted.map { name =>
+        val s = samples(name).sorted
+        f""""$name":{"p50_ms":${s(s.length / 2)}%.1f,"min_ms":${s.head}%.1f,"max_ms":${s.last}%.1f}"""
+      }.mkString("{", ",", "}")
+      val sortedAll = all.sorted
+      if (sortedAll.nonEmpty) {
+        p50 = sortedAll(sortedAll.length / 2)
+        p95 = sortedAll((sortedAll.length * 95) / 100 min (sortedAll.length - 1))
+      }
     }
-    for (_ <- 0 until reps; (name, fn) <- querySet) {
-      val t0 = System.nanoTime(); fn()
-      samples(name) += (System.nanoTime() - t0) / 1e6
-    }
-    querySet.foreach { case (name, _) =>
-      val sorted = samples(name).sorted
-      perQuery(name) = sorted(sorted.length / 2) / 1000.0 // median, seconds
-      all ++= sorted
-      log(f"$name: p50 ${sorted(sorted.length / 2)}%.0f ms " +
-        f"(min ${sorted.head}%.0f, max ${sorted.last}%.0f)")
-    }
-    // per-query rep-level dispersion: a host-throttle burst shows up as
-    // max >> min within one query's reps (r02/r03 each had one query's
-    // driver p50 swing 2x while the pooled set improved — with min/max in
-    // the JSON such a window is machine-detectable instead of re-litigated)
-    val qdisp = querySet.map(_._1).sorted.map { name =>
-      val s = samples(name).sorted
-      f""""$name":{"p50_ms":${s(s.length / 2)}%.1f,"min_ms":${s.head}%.1f,"max_ms":${s.last}%.1f}"""
-    }.mkString("{", ",", "}")
-    val sortedAll = all.sorted
-    val p50 = if (sortedAll.nonEmpty) sortedAll(sortedAll.length / 2) else 0.0
-    val p95 = if (sortedAll.nonEmpty) sortedAll((sortedAll.length * 95) / 100 min (sortedAll.length - 1)) else 0.0
 
     // ---- phase C: the search-benchmark-game query set (bench/queries.txt)
     // over a CorpusGen index WITH positions (phrases need them) — the
     // north-rule latency metric is "p50 over the query set on the
     // source-code corpus", not the sfDir documents table.
-    val qsDocs = sys.env.getOrElse("SPARK_GRAFT_QS_DOCS", "600000").toLong
-    val qsIdx = s"/dev/shm/graft-bench/qsidx-$qsDocs"
-    if (!graft.index.Manifest.exists(qsIdx)) {
-      val qsCorpus = new java.io.File(s"/dev/shm/graft-bench/corpus-$qsDocs.parquet")
-      if (!qsCorpus.exists())
-        graft.bench.CorpusGen.corpus(spark, qsDocs, partitions = 128)
-          .write.mode("overwrite").parquet(qsCorpus.toString)
-      IndexBuilder.build(spark, spark.read.parquet(qsCorpus.toString), qsIdx,
-        IndexConfig(numSegments = 32, withPositions = true))
+    phaseGuard("C(query-set)") {
+      val qsIdx = s"/dev/shm/graft-bench/qsidx-$qsDocs"
+      if (!graft.index.Manifest.exists(qsIdx)) {
+        val qsCorpus = new java.io.File(s"/dev/shm/graft-bench/corpus-$qsDocs.parquet")
+        if (!qsCorpus.exists())
+          graft.bench.CorpusGen.corpus(spark, qsDocs, partitions = 128)
+            .write.mode("overwrite").parquet(qsCorpus.toString)
+        IndexBuilder.build(spark, spark.read.parquet(qsCorpus.toString), qsIdx,
+          IndexConfig(numSegments = 32, withPositions = true))
+      }
+      val qsr = new Searcher(spark, qsIdx)
+      qsr.postings.count(); qsr.docmap.count(); qsr.termdict.count()
+      val entries = graft.bench.QuerySet.generate()
+      entries.foreach(e => graft.bench.QuerySet.run(qsr, e)) // warmup pass
+      val qsLat = (for (_ <- 1 to 3; e <- entries) yield {
+        val t0 = System.nanoTime()
+        graft.bench.QuerySet.run(qsr, e)
+        (System.nanoTime() - t0) / 1e6
+      }).sorted
+      qsN = entries.length
+      qsP50 = qsLat(qsLat.length / 2)
+      qsP95 = qsLat((qsLat.length * 95) / 100 min (qsLat.length - 1))
+      log(f"query set ($qsN queries x 3): p50 $qsP50%.0f ms, p95 $qsP95%.0f ms")
     }
-    val qsr = new Searcher(spark, qsIdx)
-    qsr.postings.count(); qsr.docmap.count(); qsr.termdict.count()
-    val entries = graft.bench.QuerySet.generate()
-    entries.foreach(e => graft.bench.QuerySet.run(qsr, e)) // warmup pass
-    val qsLat = (for (_ <- 1 to 3; e <- entries) yield {
-      val t0 = System.nanoTime()
-      graft.bench.QuerySet.run(qsr, e)
-      (System.nanoTime() - t0) / 1e6
-    }).sorted
-    val qsP50 = qsLat(qsLat.length / 2)
-    val qsP95 = qsLat((qsLat.length * 95) / 100 min (qsLat.length - 1))
-    log(f"query set (${entries.length} queries x 3): p50 $qsP50%.0f ms, p95 $qsP95%.0f ms")
 
     // ---- phase D: ANN recall@20 vs the exact baseline, machine-readable
     // (the BENCH.md recall tables' source numbers, emitted in the JSON)
-    import graft.ops.Similarity
-    import org.apache.spark.sql.functions.col
-    val (lshRecall, ivfRecall, ivfFracScanned) = {
+    phaseGuard("D(ann-recall)") {
+      import graft.ops.Similarity
+      import org.apache.spark.sql.functions.col
       import spark.implicits._
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
       val qv = emb.where(col("vec_id") === 0).select(col("embedding"))
@@ -368,15 +430,18 @@ object Bench {
       val frac = assigned.where(col("cid").isin(probes: _*)).count().toDouble /
         math.max(assigned.count(), 1L)
       emb.unpersist(); assigned.unpersist()
-      (lsh.intersect(exact).size / 20.0, ivf.intersect(exact).size / 20.0, frac)
+      lshRecall = lsh.intersect(exact).size / 20.0
+      ivfRecall = ivf.intersect(exact).size / 20.0
+      ivfFracScanned = frac
+      log(f"ANN recall@20: lsh $lshRecall%.2f, ivf $ivfRecall%.2f (scanned ${ivfFracScanned * 100}%.1f%%)")
     }
-    log(f"ANN recall@20: lsh $lshRecall%.2f, ivf $ivfRecall%.2f (scanned ${ivfFracScanned * 100}%.1f%%)")
-    spark.stop()
+    scala.util.Try(spark.stop())
 
     val total = perQuery.values.sum
     val qjson = perQuery.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+    val elapsed = (System.nanoTime() - benchStart) / 1e9
     println(
-      f"""{"metric":"headline query set (sec) + build scaling","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus_low":$cpusLo,"cpus_high":$cpusHi,"scaling_protocol":"${if (childMode) s"local-cluster[N,1core,4g] x {$cpusLo,$cpusHi} executor JVMs via spark-submit" else s"local[N] threads, shared JVM"}","build_files_per_sec_n":$fpsLo%.1f,"build_files_per_sec_4n":$fpsHi%.1f,"scaling_efficiency":$efficiency%.3f,"p50_query_ms":$p50%.1f,"p95_query_ms":$p95%.1f,"qs_p50_ms":$qsP50%.1f,"qs_p95_ms":$qsP95%.1f,"qs_n":${entries.length},"qs_docs":$qsDocs,"bench_docs":$nDocs,"query_dispersion":$qdisp,"ann_lsh_recall_at_20":$lshRecall%.2f,"ann_ivf_recall_at_20":$ivfRecall%.2f,"ann_ivf_frac_scanned":$ivfFracScanned%.3f}""")
+      f"""{"metric":"headline query set (sec) + build scaling","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus_low":$cpusLo,"cpus_high":$cpusHi,"scaling_protocol":"${if (childMode) s"local-cluster[N,1core,4g] x {$cpusLo,$cpusHi} executor JVMs via spark-submit" else s"local[N] threads, shared JVM"}","build_files_per_sec_n":$fpsLo%.1f,"build_files_per_sec_4n":$fpsHi%.1f,"scaling_efficiency":$efficiency%.3f,"converged":$converged,"scaling_reps":$scalingReps,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsed%.0f,"p50_query_ms":$p50%.1f,"p95_query_ms":$p95%.1f,"qs_p50_ms":$qsP50%.1f,"qs_p95_ms":$qsP95%.1f,"qs_n":$qsN,"qs_docs":$qsDocs,"bench_docs":$nDocs,"query_dispersion":$qdisp,"ann_lsh_recall_at_20":$lshRecall%.2f,"ann_ivf_recall_at_20":$ivfRecall%.2f,"ann_ivf_frac_scanned":$ivfFracScanned%.3f}""")
   }
 }

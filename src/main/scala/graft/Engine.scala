@@ -58,12 +58,15 @@ object Engine {
                 'Z')""").as("mtimems"),                                // DATE millis
         // DATE with nanosecond precision (`common/src/datetime.rs:24`,
         // DateTimePrecision::Nanoseconds — the DateTime's native
-        // resolution): the 9-digit fraction is doc_id itself (valid for
-        // doc_id < 1e9), so range bounds discriminate at the NANOSECOND
-        // digit on real rows at every sf; DuckDB replays in integers
+        // resolution): the 9-digit fraction is doc_id % 1e9 (the modulus
+        // keeps the canonical 9-digit width — lexicographic ==
+        // chronological — at EVERY scale, where a bare doc_id would emit a
+        // 10th digit past 1e9 rows), so range bounds discriminate at the
+        // NANOSECOND digit on real rows; DuckDB replays in integers with
+        // the same modulus
         expr("""concat(date_format(date_add(DATE'2020-01-01', CAST(doc_id % 60 AS INT)),
                 "yyyy-MM-dd'T'00:00:00."),
-                format_string('%09d', CAST(doc_id AS INT)),
+                format_string('%09d', CAST(doc_id % 1000000000 AS INT)),
                 'Z')""").as("mtimens"),                                // DATE nanos
         expr("CASE WHEN n_chars % 2 = 0 THEN 'true' ELSE 'false' END").as("even"), // BOOL
         format_string("%04x", (col("doc_id") % 65521).cast("int")).as("blob"), // BYTES (hex)

@@ -1072,13 +1072,13 @@ object SparkEntry {
         |WHERE (doc_id % 60 > 4 OR (doc_id % 60 = 4 AND doc_id % 997 >= 100))
         |  AND (doc_id % 60 < 19 OR (doc_id % 60 = 19 AND doc_id % 997 < 500))
         |ORDER BY doc_id""".stripMargin,
-    // mtimens day = doc_id % 60, nanos fraction = doc_id (9-digit width);
-    // [day4 @ 100ns inclusive, day19 @ 299ns exclusive — integer replay of
-    // the nanosecond-digit cuts
+    // mtimens day = doc_id % 60, nanos fraction = doc_id % 1e9 (canonical
+    // 9-digit width at every scale); [day4 @ 100ns inclusive, day19 @ 299ns
+    // exclusive — integer replay of the nanosecond-digit cuts
     "ft_date_range_nanos" ->
       """SELECT doc_id FROM documents
-        |WHERE (doc_id % 60 > 4 OR (doc_id % 60 = 4 AND doc_id >= 100))
-        |  AND (doc_id % 60 < 19 OR (doc_id % 60 = 19 AND doc_id < 299))
+        |WHERE (doc_id % 60 > 4 OR (doc_id % 60 = 4 AND doc_id % 1000000000 >= 100))
+        |  AND (doc_id % 60 < 19 OR (doc_id % 60 = 19 AND doc_id % 1000000000 < 299))
         |ORDER BY doc_id""".stripMargin,
     "ft_bool_term" ->
       s"""WITH $tokCte SELECT DISTINCT doc_id FROM tok

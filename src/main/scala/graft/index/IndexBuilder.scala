@@ -506,8 +506,14 @@ object IndexBuilder {
         // Measured together: ~10% off the whole build at local[16].
         val fieldNames: Array[String] = (cfg.field +: extras.map(_.name)).toArray
         val fieldIdx: Map[String, Int] = fieldNames.zipWithIndex.toMap
+        // the dropped-positions fast path is only sound when NO field emits
+        // positions: cfg.withPositions governs the primary field, but each
+        // extra field records per ITS IndexRecordOption — an extra with
+        // record="position" must keep the positions column even when the
+        // primary field drops its own
+        val noPositionsAnywhere = !withPos && extras.forall(_.record != "position")
         val blocks =
-          if (!withPos)
+          if (noPositionsAnywhere)
             analyzed
               .map(r => (r.segId, r.docId, fieldIdx(r.field), r.term, r.tf, r.normId))
               .repartition($"_1", $"_3", $"_4")

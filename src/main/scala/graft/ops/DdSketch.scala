@@ -87,13 +87,17 @@ object DdSketch {
     // per percentile: the smallest key whose cumulative count exceeds the
     // rank q*(n-1); MIN over a conditional is the relational form of the
     // ascending bucket walk
-    val picks = percents.map { q =>
+    // internal pick columns are keyed by the percent's SEQUENCE INDEX, not
+    // a numeric encoding of the percent — (q*100).toInt truncates, so two
+    // percents closer than 0.01 would collide into one alias (duplicate
+    // column error / silently lost distinction)
+    val picks = percents.zipWithIndex.map { case (q, i) =>
       min(when(col("cum") > lit(q / 100.0) * (col("n") - 1), col("k")))
-        .as(s"__k${(q * 100).toInt}")
+        .as(s"__k$i")
     }
     val picked = cum.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
-    val outs = percents.map { q =>
-      round(repCol(col(s"__k${(q * 100).toInt}"), alpha), 6)
+    val outs = percents.zipWithIndex.map { case (q, i) =>
+      round(repCol(col(s"__k$i"), alpha), 6)
         .as(s"p${if (q == q.floor) q.toInt.toString else q.toString.replace('.', '_')}")
     }
     picked.select(col(groupCol) +: outs: _*).orderBy(groupCol)

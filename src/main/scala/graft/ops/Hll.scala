@@ -47,6 +47,13 @@ object Hll {
 
   /** 60-bit deterministic value hash: md5 hex prefix, identical in Spark
     * and DuckDB for the same string rendering of the value.
+    *
+    * INPUT DOMAIN: string and integer columns only. The hash is taken over
+    * the value's STRING CAST, and Spark and DuckDB agree on that rendering
+    * for strings and integers but NOT for double/decimal (scientific-
+    * notation thresholds and trailing-zero rules differ) — hash a
+    * floating-point column through an explicit canonical rendering (e.g.
+    * CAST to BIGINT or a fixed-format format_string) on BOTH sides first.
     */
   def hashCol(v: Column): Column =
     conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")

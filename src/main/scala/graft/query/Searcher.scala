@@ -136,15 +136,33 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     * row-group pruned by the `term` predicate:
     * (segId, docId, term, score: Float).
     */
-  def scoredTermDocs(terms: Seq[String], fld: String = field): DataFrame = {
-    val weights = weightsFor(terms, fld)
+  def scoredTermDocs(terms: Seq[String], fld: String = field): DataFrame =
+    scoredTermDocsWeighted(weightsFor(terms, fld), fld)
+
+  /** [[scoredTermDocs]] over pre-built per-term weights — the seam that lets
+    * boosted clauses fold their boost into the weight exactly like
+    * `Bm25Weight::boost_by` (`bm25.rs:80-87`) instead of post-multiplying
+    * the score (the reference's BoostQuery path IS the folded weight).
+    */
+  def scoredTermDocsWeighted(weights: Map[String, Bm25.Weight],
+                             fld: String = field): DataFrame = {
     val scoreU = udf((term: String, tf: Int, normId: Int) =>
       weights.get(term).map(_.score(normId, tf)).getOrElse(0.0f))
     postings
-      .where($"field" === fld && $"term".isin(terms.distinct: _*))
+      .where($"field" === fld && $"term".isin(weights.keys.toSeq.sorted: _*))
       .select($"segId", $"term", explode(arrays_zip($"docIds", $"tfs", $"normIds")).as("p"))
       .select($"segId", $"term", $"p.docIds".as("docId"),
         scoreU($"term", $"p.tfs", $"p.normIds").as("score"))
+  }
+
+  /** Boosted per-term weights: base BM25 weight x folded clause boost
+    * (`bm25.rs:80-87 boost_by`); terms absent from the index are dropped.
+    */
+  def weightsForBoosted(termBoosts: Seq[(String, Float)],
+                        fld: String = field): Map[String, Bm25.Weight] = {
+    val base = weightsFor(termBoosts.map(_._1), fld)
+    val boosts = termBoosts.toMap
+    base.map { case (t, w) => t -> w.boostBy(boosts(t)) }
   }
 
   /** Unscored doc set for a term set (TermSetQuery / automaton expansions). */
@@ -252,8 +270,17 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         else col(columnName).isNotNull
       docmap.where(pred)
         .select($"segId", $"docId", lit(1.0f).as("score")).as[ScoredDoc]
-    case BoostQ(sub, boost) =>
-      compileRaw(sub, fld).map(s => s.copy(score = s.score * boost))
+    case b: BoostQ => weightedLeaf(b) match {
+      // boosted TERM leaves fold the boost into the BM25 weight exactly
+      // like the reference's `Bm25Weight::boost_by` (`bm25.rs:80-87`) —
+      // (w*boost)*tfFactor, NOT (w*tfFactor)*boost, so the f32 bits match
+      // the boosted TermScorer (and the WAND path) exactly
+      case Some((t, boost)) =>
+        scoredTermDocsWeighted(weightsForBoosted(Seq(t -> boost), fld), fld)
+          .select($"segId", $"docId", $"score").as[ScoredDoc]
+      case None =>
+        compileRaw(b.q, fld).map(s => s.copy(score = s.score * b.boost))
+    }
     case ConstScoreQ(sub, c) =>
       compileRaw(sub, fld).map(s => s.copy(score = c))
     case DisMaxQ(qs, tie) =>
@@ -268,50 +295,7 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         sorted.foreach { r => sm += r._4; if (r._4 > mx) mx = r._4 }
         ScoredDoc(key._1, key._2, mx + tie * (sm - mx))
       }
-    case MoreLikeThisQ(segId, docId, minDf, minTf, maxTerms,
-                       maxDf, minWordLen, maxWordLen, stopWords, boostFactor) =>
-      // driver-side term selection (`more_like_this.rs:298-360`): re-analyze
-      // the reference doc's stored content, drop noise words (UTF-8-byte
-      // word-length bounds + stop list, `is_noise_word` `:277-296`), keep
-      // terms with tf >= minTf and global df in [minDf, maxDf] (df == 0
-      // always dropped), score each term tf * bm25-idf(df, N) (`bm25.rs:50`,
-      // the formula create_score_term calls; ties by ascending term for
-      // determinism), cap at maxTerms + 1 (the reference's bounded heap
-      // pushes while `len <= limit`, `more_like_this.rs:349-360`, so up to
-      // limit+1 terms survive — mirrored faithfully), then emit the
-      // reference's boosted Should-disjunction: each term's BoostQuery
-      // carries score * boost_factor / best_score (`more_like_this.rs:
-      // 109-121`, boost_factor default 1.0).
-      val content = docmap
-        .where($"segId" === segId && $"docId" === docId)
-        .select($"content").as[String].head()
-      val tfs: Map[String, Int] = graft.analysis.Analysis.defaultTerms(content)
-        .groupBy(_._1).map { case (t, xs) => t -> xs.size }
-      def isNoise(t: String): Boolean = {
-        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-        bytes == 0 || minWordLen.exists(bytes < _) ||
-          maxWordLen.exists(bytes > _) || stopWords.contains(t)
-      }
-      val candidates = tfs.filter { case (t, _) => !isNoise(t) }
-      val dfs = docFreqs(candidates.keys.toSeq.sorted)
-      val n = totalNumDocs
-      // selection score in double so the DuckDB oracle's ordering replays
-      // exactly; the emitted boost is the f32 of it (reference stores f32)
-      val selected: Seq[(String, Double)] = candidates.toSeq
-        .filter { case (t, tf) =>
-          val df = dfs.getOrElse(t, 0L)
-          tf >= minTf && df > 0 && df >= minDf && maxDf.forall(df <= _) }
-        .map { case (t, tf) =>
-          val df = dfs(t)
-          (t, tf * math.log(1.0 + (n - df + 0.5) / (df + 0.5))) }
-        .sortBy { case (t, s) => (-s, t) }
-        .take(maxTerms + 1)
-      if (selected.isEmpty) spark.emptyDataset[ScoredDoc]
-      else {
-        val best = selected.map(_._2).max
-        compileRaw(BoolQ(selected.map { case (t, s) =>
-          Occur.Should -> (BoostQ(TermQ(t), (s * boostFactor / best).toFloat): Query) }), fld)
-      }
+    case m: MoreLikeThisQ => compileRaw(mltDisjunction(m, fld), fld)
     case p: PhraseQ => compilePhrase(p, fld)
     case rp: RegexPhraseQ =>
       // per-position regex expansion against the term dictionary
@@ -379,6 +363,62 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
         }
       }
     case b: BoolQ => compileBool(b, fld)
+  }
+
+  /** Expand MoreLikeThis into the reference's boosted-term Should
+    * disjunction — driver-side term selection (`more_like_this.rs:298-360`):
+    * re-analyze the reference doc's stored content, drop noise words
+    * (UTF-8-byte word-length bounds + stop list, `is_noise_word` `:277-296`),
+    * keep terms with tf >= minTf and global df in [minDf, maxDf] (df == 0
+    * always dropped), score each term tf * bm25-idf(df, N) (`bm25.rs:50`,
+    * the formula create_score_term calls; ties by ascending term for
+    * determinism), cap at maxTerms + 1 (the reference's bounded heap pushes
+    * while `len <= limit`, `more_like_this.rs:349-360`, so up to limit+1
+    * terms survive — mirrored faithfully), then emit each selected term as
+    * a BoostQuery carrying score * boost_factor / best_score
+    * (`more_like_this.rs:109-121`, boost_factor default 1.0).
+    *
+    * Exposed as a QUERY REWRITE (not just a compile case) because the
+    * resulting Should-of-BoostQ(TermQ) shape is WAND-eligible
+    * (`boolean_weight.rs:56-76` — every clause a TermScorer, boosts folded
+    * via `bm25.rs:80-87 boost_by`): the top-k collectors rewrite
+    * MoreLikeThisQ through here and ride the pruned block-max executor,
+    * instead of shuffling every posting of every selected term.
+    */
+  def mltDisjunction(m: MoreLikeThisQ, fld: String = field): Query = {
+    import m.{segId, docId, minDocFreq => minDf, minTermFreq => minTf,
+      maxQueryTerms => maxTerms, maxDocFreq => maxDf, minWordLen, maxWordLen,
+      stopWords, boostFactor}
+    val content = docmap
+      .where($"segId" === segId && $"docId" === docId)
+      .select($"content").as[String].head()
+    val tfs: Map[String, Int] = graft.analysis.Analysis.defaultTerms(content)
+      .groupBy(_._1).map { case (t, xs) => t -> xs.size }
+    def isNoise(t: String): Boolean = {
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      bytes == 0 || minWordLen.exists(bytes < _) ||
+        maxWordLen.exists(bytes > _) || stopWords.contains(t)
+    }
+    val candidates = tfs.filter { case (t, _) => !isNoise(t) }
+    val dfs = docFreqs(candidates.keys.toSeq.sorted, fld)
+    val n = fieldStats(fld)._2
+    // selection score in double so the DuckDB oracle's ordering replays
+    // exactly; the emitted boost is the f32 of it (reference stores f32)
+    val selected: Seq[(String, Double)] = candidates.toSeq
+      .filter { case (t, tf) =>
+        val df = dfs.getOrElse(t, 0L)
+        tf >= minTf && df > 0 && df >= minDf && maxDf.forall(df <= _) }
+      .map { case (t, tf) =>
+        val df = dfs(t)
+        (t, tf * math.log(1.0 + (n - df + 0.5) / (df + 0.5))) }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxTerms + 1)
+    if (selected.isEmpty) EmptyQ
+    else {
+      val best = selected.map(_._2).max
+      BoolQ(selected.map { case (t, s) =>
+        Occur.Should -> (BoostQ(TermQ(t), (s * boostFactor / best).toFloat): Query) })
+    }
   }
 
   /** Shared executor for phrase queries whose slots are TERM SETS (regex
@@ -524,20 +564,31 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     // more required Shoulds than Should clauses matches nothing
     if (minShould > numShoulds) return spark.emptyDataset[ScoredDoc]
 
-    val allTermLeaves = positives.forall(_._2.isInstanceOf[TermQ])
+    // Term-with-boost leaves collapse into ONE postings scan (boosts fold
+    // into the per-term weight, `bm25.rs:80-87`). Duplicate terms carrying
+    // DIFFERENT boosts would need two weights for one term — that rare
+    // shape keeps the generic per-clause path.
+    val leafOpts = positives.map(p => weightedLeaf(p._2))
+    val allTermLeaves = leafOpts.forall(_.isDefined) && {
+      val ts = leafOpts.flatten
+      ts.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == 1)
+    }
+    lazy val leafBoosts: Seq[(String, Float)] = leafOpts.flatten.distinct
 
     // Pure conjunction of terms -> cost-ordered intersection
     // (`intersection.rs:26,81`): chained equi-joins rarest-term-first, so
     // docs missing the rarest term are dropped before any wide shuffle.
     // Score = sum of clause scores in clause order (`score_combiner.rs:39`).
     if (allTermLeaves && numMusts == positives.length) {
-      val clauseTerms = positives.map(_._2.asInstanceOf[TermQ].term)
+      val clauseTerms = leafOpts.flatten.map(_._1)
       val dfs = docFreqs(clauseTerms.distinct, fld)
       if (clauseTerms.distinct.exists(t => !dfs.contains(t)))
         return spark.emptyDataset[ScoredDoc]
+      val boosted = weightsForBoosted(leafBoosts, fld)
       val ordered = clauseTerms.distinct.sortBy(t => (dfs(t), t))
       def frame(t: String, i: Int): DataFrame =
-        scoredTermDocs(Seq(t), fld).select($"segId", $"docId", $"score".as(s"sc$i"))
+        scoredTermDocsWeighted(Map(t -> boosted(t)), fld)
+          .select($"segId", $"docId", $"score".as(s"sc$i"))
       var joined = frame(ordered.head, 0)
       for ((t, i) <- ordered.tail.zipWithIndex)
         joined = joined.join(frame(t, i + 1), Seq("segId", "docId"))
@@ -555,10 +606,10 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
 
     val tagged: Dataset[(Int, Int, Int, Boolean, Float)] =
       if (allTermLeaves) {
-        val metas = positives.zipWithIndex.map { case ((occ, TermQ(t)), i) =>
-          (t, i, occ == Occur.Must) }
+        val metas = positives.zipWithIndex.map { case ((occ, q), i) =>
+          (weightedLeaf(q).get._1, i, occ == Occur.Must) }
         val byTerm = metas.groupBy(_._1)
-        val scored = scoredTermDocs(metas.map(_._1).distinct, fld)
+        val scored = scoredTermDocsWeighted(weightsForBoosted(leafBoosts, fld), fld)
         scored.select($"segId", $"docId", $"term", $"score")
           .as[(Int, Int, String, Float)]
           .flatMap { case (seg, doc, term, sc) =>
@@ -654,32 +705,63 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
 
   private def fastPathEligible: Boolean = deletesDf.isEmpty
 
-  /** Pure multi-term disjunction — the WAND-eligible shape
-    * (`boolean_weight.rs:56-76`: every clause a TermScorer with freqs).
+  /** A clause that scores like a single TermScorer: a bare TermQ, or a
+    * BoostQ chain over one — boosts fold multiplicatively into the weight
+    * (`bm25.rs:80-87 boost_by`; eligibility `boolean_weight.rs:56-76`).
     */
-  private def pureShouldTerms(q: Query): Option[Seq[String]] = q match {
-    case TermQ(t) => Some(Seq(t))
-    case BoolQ(cs, m) if m <= 1 && cs.nonEmpty && cs.forall {
-        case (o, s) => o == Occur.Should && s.isInstanceOf[TermQ] } =>
-      val ts = cs.map(_._2.asInstanceOf[TermQ].term)
-      // duplicate Should clauses of one term sum that term's score twice
-      // (`SumCombiner`) — the WAND executor scores each term once, so only
-      // the duplicate-free shape routes here
-      if (ts.distinct.length == ts.length) Some(ts) else None
+  private def weightedLeaf(q: Query, boost: Float = 1.0f): Option[(String, Float)] =
+    q match {
+      case TermQ(t) => Some((t, boost))
+      case BoostQ(sub, b) => weightedLeaf(sub, boost * b)
+      case _ => None
+    }
+
+  /** Pure weighted multi-term disjunction — the WAND-eligible shape
+    * (`boolean_weight.rs:56-76`: every clause a TermScorer reading freqs;
+    * a BoostQ(TermQ) clause is still a TermScorer, with the boost folded
+    * into its Bm25 weight). This is exactly the shape MoreLikeThis emits.
+    */
+  private def pureShouldWeighted(q: Query): Option[Seq[(String, Float)]] = q match {
+    case TermQ(t) => Some(Seq((t, 1.0f)))
+    case b: BoostQ => weightedLeaf(b).map(Seq(_))
+    case BoolQ(cs, m) if m <= 1 && cs.nonEmpty && cs.forall(_._1 == Occur.Should) =>
+      val leaves = cs.map(c => weightedLeaf(c._2))
+      if (leaves.exists(_.isEmpty)) None
+      else {
+        val ts = leaves.map(_.get)
+        // duplicate Should clauses of one term sum that term's score twice
+        // (`SumCombiner`) — the WAND executor scores each term once, so only
+        // the duplicate-free shape routes here
+        if (ts.map(_._1).distinct.length == ts.length) Some(ts) else None
+      }
     case _ => None
+  }
+
+  /** Collector-level query rewrite: MoreLikeThis expands to its boosted
+    * Should-disjunction BEFORE dispatch, so the top-k collectors see the
+    * WAND-eligible shape instead of falling back to the generic union.
+    */
+  private def rewriteForCollect(q: Query): Query = q match {
+    case m: MoreLikeThisQ => mltDisjunction(m, field)
+    case FieldQ(f, m: MoreLikeThisQ) => FieldQ(f, mltDisjunction(m, f))
+    case _ => q
   }
 
   /** TopDocs collector (`top_collector.rs:45-61,102-122`): global top-k by
     * (score desc, segId asc, docId asc), offset skipped after the merge.
     * Pure conjunctions and phrases route through the per-segment leapfrog
-    * executor (`Intersect`), everything else through the Dataset pipeline.
+    * executor (`Intersect`), weighted pure disjunctions (incl. expanded
+    * MoreLikeThis) through the block-max WAND executor, everything else
+    * through the Dataset pipeline.
     */
-  def topDocs(q: Query, k: Int, offset: Int = 0): Array[Hit] = q match {
+  def topDocs(q0: Query, k: Int, offset: Int = 0): Array[Hit] = rewriteForCollect(q0) match {
     case p: PhraseQ if fastPathEligible =>
       Intersect.topKPhrase(this, p, k + offset)._1.drop(offset)
-    case _ if fastPathEligible && pureMustTerms(q).isDefined =>
+    case q if fastPathEligible && pureMustTerms(q).isDefined =>
       Intersect.topKMust(this, pureMustTerms(q).get, k + offset)._1.drop(offset)
-    case _ =>
+    case q if fastPathEligible && pureShouldWeighted(q).isDefined =>
+      Wand.topKWeighted(this, pureShouldWeighted(q).get, k + offset).drop(offset)
+    case q =>
       compile(q)
         .orderBy(desc("score"), asc("segId"), asc("docId"))
         .limit(k + offset)
@@ -687,17 +769,17 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
   }
 
   /** Count collector (`count_collector.rs:36-61`). */
-  def count(q: Query): Long = q match {
+  def count(q0: Query): Long = rewriteForCollect(q0) match {
     // a term's hit count IS its doc_freq when no tombstones are pinned —
     // the term dictionary answers without touching postings (the reference's
     // specialized term count reads the same TermInfo)
     case TermQ(t) if fastPathEligible => docFreqs(Seq(t)).getOrElse(t, 0L)
     case p: PhraseQ if fastPathEligible => Intersect.topKPhrase(this, p, 1)._2
-    case _ if fastPathEligible && pureMustTerms(q).isDefined =>
+    case q if fastPathEligible && pureMustTerms(q).isDefined =>
       Intersect.topKMust(this, pureMustTerms(q).get, 1)._2
-    case _ if fastPathEligible && pureShouldTerms(q).isDefined =>
-      Wand.topKWithCount(this, pureShouldTerms(q).get, 1)._2
-    case _ => compile(q).count()
+    case q if fastPathEligible && pureShouldWeighted(q).isDefined =>
+      Wand.topKWithCountWeighted(this, pureShouldWeighted(q).get, 1)._2
+    case q => compile(q).count()
   }
 
   /** TopDocs + Count in ONE pass over the matching doc set — the
@@ -708,13 +790,13 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     * (SegmentCollector), and the driver merges fruits
     * (`top_collector.rs:102-122`).
     */
-  def topDocsWithCount(q: Query, k: Int): (Array[Hit], Long) = q match {
+  def topDocsWithCount(q0: Query, k: Int): (Array[Hit], Long) = rewriteForCollect(q0) match {
     case p: PhraseQ if fastPathEligible => Intersect.topKPhrase(this, p, k)
-    case _ if fastPathEligible && pureMustTerms(q).isDefined =>
+    case q if fastPathEligible && pureMustTerms(q).isDefined =>
       Intersect.topKMust(this, pureMustTerms(q).get, k)
-    case _ if fastPathEligible && pureShouldTerms(q).isDefined =>
-      Wand.topKWithCount(this, pureShouldTerms(q).get, k)
-    case _ => topDocsWithCountGeneric(q, k)
+    case q if fastPathEligible && pureShouldWeighted(q).isDefined =>
+      Wand.topKWithCountWeighted(this, pureShouldWeighted(q).get, k)
+    case q => topDocsWithCountGeneric(q, k)
   }
 
   private def topDocsWithCountGeneric(q: Query, k: Int): (Array[Hit], Long) = {

@@ -261,6 +261,36 @@ object Wand {
     topKImpl(searcher, present, weights, k, probeCutoff)
   }
 
+  /** [[topK]] for a WEIGHTED disjunction — each term's clause boost folded
+    * into its Bm25 weight (`bm25.rs:80-87 boost_by`), which is how the
+    * reference makes `Should(Boost(Term))` trees (MoreLikeThis's shape)
+    * WAND-eligible (`boolean_weight.rs:56-76`): a boosted TermScorer is
+    * still a TermScorer, its max_score just scales with the boost, so every
+    * pruning bound below stays sound.
+    */
+  def topKWeighted(searcher: Searcher, termBoosts: Seq[(String, Float)], k: Int,
+                   probeCutoff: Long = 20000000L): Array[Hit] = {
+    val weights = searcher.weightsForBoosted(termBoosts)
+    if (weights.isEmpty || k <= 0) return Array.empty
+    val present = termBoosts.map(_._1).distinct.filter(weights.contains).sorted
+    topKImpl(searcher, present, weights, k, probeCutoff)
+  }
+
+  /** [[topKWithCount]] for a weighted disjunction (boosts don't change
+    * which docs match, only their scores — the union count is boost-free).
+    */
+  def topKWithCountWeighted(searcher: Searcher, termBoosts: Seq[(String, Float)],
+                            k: Int): (Array[Hit], Long) = {
+    val weights = searcher.weightsForBoosted(termBoosts)
+    val present = termBoosts.map(_._1).distinct.filter(weights.contains).sorted
+    if (present.isEmpty || k <= 0) return (Array.empty, 0L)
+    if (present.length == 1) {
+      val cnt = searcher.docFreqs(present).getOrElse(present.head, 0L)
+      return (topKImpl(searcher, present, weights, k, Long.MaxValue), cnt)
+    }
+    multiTerm(searcher, present, weights, k, tau = Float.MinValue, withCount = true)
+  }
+
   /** TOP_10_COUNT for a pure disjunction in ONE pass: the count collector
     * must see every match (`multi_collector.rs:166`), so the map-side
     * threshold prefilter stays off, but the union COUNT is computed inside
@@ -362,7 +392,10 @@ object Wand {
     var tau = Float.MinValue
     if (dfs.values.sum > probeCutoff) {
       val probeTerm = present.maxBy(t => weights(t).maxScore)
-      val probeHits = topK(searcher, Seq(probeTerm), k, probeCutoff)
+      // recurse with THIS query's weights map (not freshly-derived ones):
+      // under a weighted disjunction the probe must rank by the boosted
+      // weight, or its k-th score is not a lower bound for the boosted sums
+      val probeHits = topKImpl(searcher, Seq(probeTerm), weights, k, probeCutoff)
       if (probeHits.length == k)
         tau = java.lang.Math.nextDown(probeHits.last.score)
     }
