@@ -61,6 +61,13 @@ final class GraftIndex(val spark: SparkSession, val dir: String, val cfg: IndexC
   /** Tombstone every doc matching `q`; visible to new searchers. */
   def delete(q: Query): Long = Deletes.deleteByQuery(spark, dir, q)
 
+  /** `IndexWriter::rollback` (`src/indexer/index_writer.rs:564-577`):
+    * discard everything since the last commit — orphan `batch=<b>` dirs
+    * (from a killed [[add]]/build) and their resume checkpoints. The
+    * committed manifest is untouched; returns the deleted paths.
+    */
+  def rollback(): Seq[String] = Manifest.rollback(dir)
+
   /** Run the LogMergePolicy until no candidates remain (compacts deletes). */
   def compact(policy: Merger.LogMergePolicy = Merger.LogMergePolicy()): Manifest.IndexMeta =
     Merger.compact(spark, dir, cfg, policy)

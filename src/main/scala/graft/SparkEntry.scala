@@ -848,6 +848,29 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")), 128, 96)
         .orderBy("doc_id")
     },
+    // REAL image decode (round 5): one genuine PNG per doc (dims derived
+    // from doc_id, encoded partition-side) -> javax.imageio header parse ->
+    // true width/height; the oracle replays the fixture-side dims in
+    // integers, so the encode -> ImageIO-decode round trip is hash-gated
+    "mm_image_decode" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.decodeAll(Multimodal.syntheticImageBlobs(docs, "doc_id",
+          pmod(col("doc_id"), lit(97)) + lit(16),
+          pmod(col("doc_id"), lit(53)) + lit(16)))
+        .toDF().select("doc_id", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    },
+    // ... and the resize geometry over the ImageIO-decoded dims
+    "mm_image_resize" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.resizeAll(Multimodal.decodeAll(
+          Multimodal.syntheticImageBlobs(docs, "doc_id",
+            pmod(col("doc_id"), lit(97)) + lit(16),
+            pmod(col("doc_id"), lit(53)) + lit(16))), 64, 48)
+        .orderBy("doc_id")
+    },
 
     // ---- Structured Streaming analytics (EventStream) ----
     // A REAL streaming run: file source -> watermark -> windowed agg ->
@@ -1702,6 +1725,28 @@ object SparkEntry {
         |CASE WHEN width <= 128 AND height <= 96 THEN height
         |     WHEN height * 128 <= width * 96 THEN greatest(CAST(1 AS BIGINT), height * 128 // width)
         |     ELSE CAST(96 AS BIGINT) END AS out_height
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // the PNGs are encoded with dims (doc_id % 97 + 16, doc_id % 53 + 16);
+    // ImageIO's header parse must hand those exact dims back (n_frames = 1
+    // for PNG) — the oracle IS the fixture-side arithmetic
+    "mm_image_decode" ->
+      """SELECT doc_id,
+        |CAST(doc_id % 97 + 16 AS BIGINT) AS width,
+        |CAST(doc_id % 53 + 16 AS BIGINT) AS height,
+        |CAST(1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_image_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(doc_id % 97 + 16 AS BIGINT) AS width,
+        |  CAST(doc_id % 53 + 16 AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |CASE WHEN width <= 64 AND height <= 48 THEN width
+        |     WHEN height * 64 <= width * 48 THEN CAST(64 AS BIGINT)
+        |     ELSE greatest(CAST(1 AS BIGINT), width * 48 // height) END AS out_width,
+        |CASE WHEN width <= 64 AND height <= 48 THEN height
+        |     WHEN height * 64 <= width * 48 THEN greatest(CAST(1 AS BIGINT), height * 64 // width)
+        |     ELSE CAST(48 AS BIGINT) END AS out_height
         |FROM m ORDER BY doc_id""".stripMargin,
 
     // complete-mode streaming == the batch hourly aggregate; cents-scaled

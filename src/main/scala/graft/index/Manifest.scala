@@ -102,6 +102,33 @@ object Manifest {
     deleted.toSeq
   }
 
+  /** `IndexWriter::rollback` (`src/indexer/index_writer.rs:564-577`):
+    * return to the last committed state by dropping everything the
+    * published manifest cannot reach — `batch=<b>` table directories left
+    * by a killed/abandoned build or append that never republished
+    * `segments.json` (the same orphan-dir sweep as [[gc]]), PLUS the
+    * per-batch checkpoints referencing batches outside the manifest, so a
+    * config-identical re-build cannot resurrect the rolled-back batches
+    * through the resume path. Returns the deleted paths.
+    */
+  def rollback(indexDir: String): Seq[String] = {
+    val live = read(indexDir).segments.map(_.batch).toSet
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    deleted ++= gc(indexDir)
+    val ck = Paths.get(ckptDir(indexDir))
+    if (Files.exists(ck)) {
+      val ckRe = "batch_(\\d+)_.*\\.json".r
+      Files.list(ck).iterator().asScala.toSeq.foreach { p =>
+        p.getFileName.toString match {
+          case ckRe(b) if !live.contains(b.toInt) =>
+            Files.delete(p); deleted += p.toString
+          case _ => ()
+        }
+      }
+    }
+    deleted.toSeq
+  }
+
   // ---- per-batch checkpoints ----
 
   def checkpointPath(indexDir: String, batch: Int, configHash: String) =

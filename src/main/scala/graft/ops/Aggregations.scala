@@ -173,11 +173,41 @@ object Aggregations {
 
   // ---------------------------------------------------------------- compile
 
+  /** Aggregation guardrails (`src/aggregation/agg_limits.rs`,
+    * `collector.rs:17`): `maxBuckets` mirrors the reference's
+    * `bucket_limit` / ES's `search.max_buckets` (DEFAULT_BUCKET_LIMIT =
+    * 65000, `agg_limits.rs:63,78`) — the count of buckets RETURNED, not
+    * intermediate ones. Spark's shuffle spills instead of OOMing
+    * executor-side, so the resource the limit actually protects here is
+    * the DRIVER's result collection: an over-limit request ERRORS like the
+    * reference instead of materializing millions of bucket rows.
+    */
+  final case class AggLimits(maxBuckets: Long = 65000)
+
+  final class AggLimitExceeded(actual: Long, limit: Long)
+    extends RuntimeException(
+      s"aggregation produced > $limit buckets (observed >= $actual); " +
+        "raise AggLimits.maxBuckets or narrow the request " +
+        "(agg_limits.rs bucket_limit semantics)")
+
+  /** Enforce [[AggLimits]] on a compiled bucket frame: probe at most
+    * limit+1 group rows (bounded driver residency — the shuffle itself is
+    * unaffected) and error past the limit.
+    */
+  private def enforceLimits(buckets: DataFrame, limits: Option[AggLimits]): Unit =
+    limits.foreach { l =>
+      val probe = buckets.limit(math.min(l.maxBuckets + 1, Int.MaxValue.toLong).toInt).count()
+      if (probe > l.maxBuckets) throw new AggLimitExceeded(probe, l.maxBuckets)
+    }
+
   /** Compile the request to one Spark plan: filter → (groupBy | rollup) over
     * all bucket keys → metric aggs → ordered by keys (nulls last, so leaf
     * rows sort before their ancestors' summary rows).
+    *
+    * `limits` (None = unchecked, the historical behavior) applies the
+    * `agg_limits.rs` bucket-count guardrail before returning.
     */
-  def run(df: DataFrame, req: AggRequest): DataFrame = {
+  def run(df: DataFrame, req: AggRequest, limits: Option[AggLimits] = None): DataFrame = {
     require(req.buckets.nonEmpty || req.metrics.nonEmpty, "empty agg request")
     val base = req.filter.map(df.where).getOrElse(df)
     val keyCols = req.buckets.map(b => b.key.as(b.name))
@@ -190,7 +220,10 @@ object Aggregations {
         g.agg(aggs.head, aggs.tail: _*)
       }
     if (req.buckets.isEmpty) grouped
-    else grouped.orderBy(req.buckets.map(b => asc_nulls_last(b.name)): _*)
+    else {
+      enforceLimits(grouped, limits)
+      grouped.orderBy(req.buckets.map(b => asc_nulls_last(b.name)): _*)
+    }
   }
 
   /** Full ES histogram request semantics (`bucket/histogram/histogram.rs`):
@@ -466,7 +499,8 @@ object Aggregations {
     * needed).
     */
   def runTree(df: DataFrame, roots: Seq[AggNode],
-              filter: Option[Column] = None): DataFrame = {
+              filter: Option[Column] = None,
+              limits: Option[AggLimits] = None): DataFrame = {
     require(roots.nonEmpty, "empty agg forest")
     // DFS: collect (path of bucket names, node) for every node
     def walk(n: AggNode, prefix: Seq[BucketAgg]): Seq[(Seq[BucketAgg], AggNode)] = {
@@ -510,6 +544,7 @@ object Aggregations {
       .groupingSets(sets, keyCols: _*)
       .agg(aggs.head, aggs.tail: _*)
       .select((col("agg_path") +: keyCols) ++ metricByName.keys.map(col): _*)
+    enforceLimits(out, limits)
     out.orderBy(asc("agg_path") +: keyOrder.map(b => asc_nulls_last(b.name)): _*)
   }
 

@@ -16,8 +16,17 @@ final case class Hit(segId: Int, docId: Int, score: Float)
   * reference operation order; per-document combination across clauses sums in
   * clause order (deterministic), since float addition is not associative.
   */
-class Searcher(val spark: SparkSession, val indexDir: String, val field: String = "content") {
+class Searcher(val spark: SparkSession, val indexDir: String,
+               val field: String = "content",
+               val store: graft.index.SegmentStore = null)
+    extends graft.score.Bm25StatisticsProvider {
   import spark.implicits._
+
+  /** The storage seam (SURVEY §7): all component reads resolve through a
+    * [[graft.index.SegmentStore]]; default = the builder's Parquet layout.
+    */
+  private val segStore: graft.index.SegmentStore =
+    Option(store).getOrElse(new graft.index.ParquetSegmentStore(indexDir))
 
   /** The pinned snapshot: only segments named by the manifest are visible
     * (merged-away segments' files stay on disk until GC, like the
@@ -51,17 +60,35 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     * termdict (128x smaller than postings) and stats are cached: they serve
     * the per-query df/N lookups, the hot metadata path.
     */
-  lazy val postings: DataFrame = pin(spark.read.parquet(s"$indexDir/postings"))
-  lazy val docmap: DataFrame = pin(spark.read.parquet(s"$indexDir/docmap"))
-  // coalesced before caching: the cached partition count is the task count
-  // of every per-query metadata lookup, and a df lookup over 100+ cached
-  // partitions costs more in task launches than in work
-  // repartition (not coalesce): coalesce propagates upstream and would
-  // collapse the first materialization scan to 8 tasks on a big termdict
-  lazy val termdict: DataFrame =
-    pin(spark.read.parquet(s"$indexDir/termdict")).repartition(8).cache()
+  lazy val postings: DataFrame = pin(segStore.read(spark, "postings"))
+  lazy val docmap: DataFrame = pin(segStore.read(spark, "docmap"))
+
+  /** termdict is the hot metadata path (per-query df/N lookups), so cache
+    * it — but SIZE-AWARE: at 10^12 files the term dictionary is itself
+    * TB-scale, and a blanket `.cache()` would force a full materialization
+    * on first touch and then scan every cached partition per lookup. Below
+    * `graft.termdict.cacheBytes` (default 256 MB) it is cached with a
+    * partition count proportional to its bytes (~32 MB per cached
+    * partition — the task count IS the cost of a metadata lookup at
+    * interactive latency); above the threshold it stays a plain Parquet
+    * scan, where the (field, term) predicates of [[docFreqs]] remain
+    * PUSHED into the scan and the builder's term-major sort makes the
+    * row-group min/max stats on `term` tight ranges (the FST-seek analog).
+    * repartition (not coalesce): coalesce propagates upstream and would
+    * collapse the first materialization scan itself to few tasks.
+    */
+  lazy val termdict: DataFrame = {
+    val raw = pin(segStore.read(spark, "termdict"))
+    val limit = spark.conf.getOption("graft.termdict.cacheBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val bytes = segStore.bytes(spark, "termdict")
+    if (bytes <= limit) {
+      val parts = math.max(1, (bytes >> 25).toInt) // ~32 MB per partition
+      raw.repartition(parts).cache()
+    } else raw
+  }
   lazy val statsDf: DataFrame =
-    pin(spark.read.parquet(s"$indexDir/stats")).coalesce(1).cache()
+    pin(segStore.read(spark, "stats")).coalesce(1).cache()
 
   /** Index-global statistics (`bm25.rs:25-48`): totals summed over segments. */
   /** Delete tombstones (`segment.<opstamp>.del` analog): an optional
@@ -70,10 +97,9 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
     * `src/fastfield/alive_bitset.rs` applied at scan time. Compaction
     * happens on merge, like the reference.
     */
-  lazy val deletesDf: Option[DataFrame] = {
-    val p = new java.io.File(s"$indexDir/deletes")
-    if (p.exists()) Some(pin(spark.read.parquet(p.toString))) else None
-  }
+  lazy val deletesDf: Option[DataFrame] =
+    if (segStore.exists(spark, "deletes")) Some(pin(segStore.read(spark, "deletes")))
+    else None
 
   /** Per-field index-global (totalNumTokens, numDocs), cached: the manifest
     * snapshot is immutable, so a field's totals never change under this
@@ -91,6 +117,25 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
   def avgFieldnormFor(fld: String): Float = {
     val (t, d) = fieldStats(fld); Bm25.averageFieldnorm(t, d)
   }
+
+  // ---- Bm25StatisticsProvider (`bm25.rs:13-23`): the Searcher IS the
+  // default provider — manifest-summed stats + termdict doc freqs. A custom
+  // provider swaps these through [[weightsFromProvider]].
+  override def totalTokens(fld: String): Long = fieldStats(fld)._1
+  override def docCount(fld: String): Long = fieldStats(fld)._2
+  override def docFreq(fld: String, term: String): Long =
+    docFreqs(Seq(term), fld).getOrElse(term, 0L)
+
+  /** Per-term weights from an arbitrary statistics source (the reference's
+    * `Bm25Weight::for_one_term` statistics-provider overload); terms whose
+    * provider df is 0 are dropped, like [[weightsFor]].
+    */
+  def weightsFromProvider(p: graft.score.Bm25StatisticsProvider,
+                          terms: Seq[String],
+                          fld: String = field): Map[String, Bm25.Weight] =
+    terms.distinct.flatMap { t =>
+      if (p.docFreq(fld, t) > 0) Some(t -> Bm25.weightForTerm(p, fld, t)) else None
+    }.toMap
 
   /** Global doc_freq per term: per-segment df summed (`bm25.rs:45-48`).
     * The per-segment rows are collected and summed on the driver — one
@@ -236,13 +281,37 @@ class Searcher(val spark: SparkSession, val indexDir: String, val field: String 
       // banded-DP Levenshtein over the distinct term dictionary — the
       // FST+DFA intersection of the reference (`fuzzy_query.rs:80-131`)
       // evaluated as a distributed filter on termdict; const score 1.0.
+      //
+      // A SARGABLE pre-band runs BEFORE the DP UDF — the cheap projection
+      // of the reference's automaton intersection: every edit changes the
+      // code-point length by <= 1, so |len(c) - len(q)| <= d is implied by
+      // within() (its own early exit, QueryAst.scala) and the band in the
+      // plan short-circuits the O(len^2) DP on the vast majority of
+      // dictionary terms. (A first-CHARACTER band would NOT be sound: one
+      // front insertion or substitution frees c(0) to be any character.)
+      // Spark's length() counts code points — the same unit as within().
+      // In prefix mode a candidate may match through its len(q)-truncation
+      // (any length) or whole (len >= len(q)-d); the UDF's truncation is
+      // UTF-16-based, so the band keeps the conservative floor
+      // min(len(q)-d, ceil(len(q)/2)) to stay a superset for supplementary
+      // characters. d == 0 degenerates to exact equality / startsWith,
+      // which push all the way into the Parquet scan (term min/max pruning
+      // on the builder's term-major sort).
       val within = udf { c: String =>
         if (prefix && c.length >= term.length)
           Levenshtein.within(term, c.substring(0, term.length), d, transpose) ||
             Levenshtein.within(term, c, d, transpose)
         else Levenshtein.within(term, c, d, transpose)
       }
-      docsForTermsDf(allTermsFor(fld).where(within($"term")), fld)
+      val qcp = term.codePointCount(0, term.length)
+      val banded =
+        if (d == 0 && prefix) allTermsFor(fld).where($"term".startsWith(term))
+        else if (d == 0) allTermsFor(fld).where($"term" === term)
+        else if (prefix)
+          allTermsFor(fld).where(length($"term") >= math.min(qcp - d, (qcp + 1) / 2))
+        else
+          allTermsFor(fld).where(length($"term").between(qcp - d, qcp + d))
+      docsForTermsDf(banded.where(within($"term")), fld)
     case RangeQ(columnName, lower, upper) =>
       // a multivalued fast field (array-typed docmap column, the columnar
       // crate's multi-value columns) matches when ANY of its values is in

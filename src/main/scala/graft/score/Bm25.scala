@@ -12,9 +12,34 @@ import graft.analysis.FieldNorm
   * score  = weight * tf / (tf + K1*(1 - B + B*fieldnorm/avgFieldnorm))
   * with the norm factor precomputed per fieldnorm id (`bm25.rs:56-67,174-188`).
   */
+/** Statistics seam mirroring the reference's `Bm25StatisticsProvider`
+  * (`src/query/bm25.rs:13-23`: total_num_tokens / total_num_docs /
+  * doc_freq): BM25 weights can be built against ANY statistics source —
+  * the default is the manifest-backed `Searcher` (which extends this), a
+  * custom provider overrides corpus-level stats (e.g. global stats held
+  * outside the index, as `bm25.rs:25-48` sums per-segment ones).
+  */
+trait Bm25StatisticsProvider {
+  /** `bm25.rs:15-16` total_num_tokens(field). */
+  def totalTokens(field: String): Long
+  /** `bm25.rs:18-19` total_num_docs. */
+  def docCount(field: String): Long
+  /** `bm25.rs:21-22` doc_freq(term); 0 = absent. */
+  def docFreq(field: String, term: String): Long
+}
+
 object Bm25 {
   final val K1: Float = 1.2f
   final val B: Float = 0.75f
+
+  /** `Bm25Weight::for_one_term` driven by a [[Bm25StatisticsProvider]]
+    * (`bm25.rs:96-113` for_one_term's statistics-provider overload).
+    */
+  def weightForTerm(p: Bm25StatisticsProvider, field: String, term: String): Weight = {
+    val n = p.docCount(field)
+    forOneTerm(p.docFreq(field, term), n,
+      averageFieldnorm(p.totalTokens(field), n))
+  }
 
   /** `bm25.rs:50-54`, computed in f32 exactly as the reference:
     * x = ((N - n) as f32 + 0.5) / (n as f32 + 0.5); ln(1 + x).

@@ -106,7 +106,11 @@ class EngineE2ESpec extends AnyFunSuite {
     wand.zip(oracle).foreach { case (e, o) =>
       assert(math.abs(e.score - o.score) <= 1e-6f * math.max(math.abs(e.score), math.abs(o.score)))
     }
-    assertSame(searcher.topDocs(q, 10).toSeq, oracle, "disj3 exact")
+    // topDocs routes this WAND-eligible shape through the SAME pruned
+    // executor (round 5 — the reference's TopDocs also block_wands a pure
+    // term union, `boolean_weight.rs:56-76`): bit-identical to the direct
+    // WAND call
+    assert(searcher.topDocs(q, 10).toSeq == wand, "disj3 topDocs == wand")
   }
 
   test("WAND with probe-seeded threshold + map-side block prefilter == naive") {

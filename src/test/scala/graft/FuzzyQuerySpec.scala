@@ -44,4 +44,33 @@ class FuzzyQuerySpec extends AnyFunSuite {
     assert(hits(FuzzyQ("jaapn", 1, transposition = true)) == Seq(("p0", 1.0f)))
     assert(hits(FuzzyQ("jaapn", 1, transposition = false)).isEmpty)
   }
+
+  test("sargable length band gates the Levenshtein UDF in the plan") {
+    // the cheap projection of the DFA∩FST: |len(c)-len(q)| <= d runs as a
+    // plan-level predicate BEFORE the DP UDF, so the dictionary scan drops
+    // most terms without running the O(len^2) band
+    val plan = sr.compile(FuzzyQ("japon", 1)).queryExecution.optimizedPlan.toString
+    assert(plan.contains("length(term"),
+      s"expected a length(term) band in the optimized plan:\n$plan")
+    // ... and the band appears in the SAME Filter conjunction, BEFORE the
+    // UDF, so conjunct short-circuiting applies per row
+    val filterLine = plan.linesIterator.find(l =>
+      l.contains("length(term") && l.contains("UDF")).getOrElse("")
+    assert(filterLine.indexOf("length(term") < filterLine.indexOf("UDF"),
+      s"length band must precede the UDF in the Filter:\n$filterLine")
+  }
+
+  test("distance-0 fuzzy degenerates to pushed-down equality / startsWith") {
+    // (match without the closing paren: PushedFilters lists are truncated
+    // with "..." in plan strings)
+    val eq = sr.compile(FuzzyQ("japan", 0)).queryExecution.executedPlan.toString
+    assert(eq.contains("PushedFilters") && eq.contains("EqualTo(term,japan"),
+      s"d=0 must push term equality into the scan:\n$eq")
+    val pre = sr.compile(FuzzyQ("jap", 0, prefix = true))
+      .queryExecution.optimizedPlan.toString
+    assert(pre.contains("StartsWith(term"),
+      s"d=0 prefix must filter by StartsWith(term):\n$pre")
+    assert(hits(FuzzyQ("japan", 0)) == Seq(("p0", 1.0f)))
+    assert(hits(FuzzyQ("jap", 0, prefix = true)) == Seq(("p0", 1.0f)))
+  }
 }

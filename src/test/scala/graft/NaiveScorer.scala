@@ -62,7 +62,24 @@ object NaiveScorer {
           }
           if (hit) Some((d.segId, d.docId) -> 1.0f) else None
         }.toMap
-      case BoostQ(sub, b) => scores(sub).map { case (k, v) => k -> v * b }
+      case BoostQ(sub, b) =>
+        // the reference propagates the boost INTO the leaf weight
+        // (boost_query.rs:70-71 passes boost*self.boost down to the term
+        // weight, which applies `bm25.rs:80-87 boost_by`): a boosted TERM
+        // scores (w*boost)*tfFactor — fold for term-leaf chains, and only
+        // post-multiply for subqueries without a Bm25 weight to fold into
+        def fold(q2: Query, boost: Float): Option[Map[(Int, Int), Float]] = q2 match {
+          case TermQ(t) =>
+            if (df(t) == 0) Some(Map.empty)
+            else {
+              val w = weight(t).boostBy(boost)
+              Some(docs.flatMap { d => d.tf.get(t).map(tf =>
+                (d.segId, d.docId) -> w.score(d.normId, tf.toLong)) }.toMap)
+            }
+          case BoostQ(s2, b2) => fold(s2, boost * b2)
+          case _ => None
+        }
+        fold(sub, b).getOrElse(scores(sub).map { case (k, v) => k -> v * b })
       case ConstScoreQ(sub, c) => scores(sub).map { case (k, _) => k -> c }
       case DisMaxQ(qs, tie) =>
         val subs = qs.map(scores)
