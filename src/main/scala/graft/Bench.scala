@@ -260,24 +260,39 @@ object Bench {
       var r = 0
       var stop = false
       while (r < maxReps && !stop) {
-        // TIME-BOX (the round-4 failure mode): launch the next rep only if
-        // its predicted cost fits the budget left after the query phases'
-        // reserve. The first rep always runs — best-so-far lo/hi from one
-        // rep beats no numbers at all.
-        val nextRepCost = (if (loConverged) 0.0 else loDur) + hiDur
-        if (r > 0 && remaining - queryReserve < nextRepCost * 1.1) {
+        // TIME-BOX (the round-4 failure mode): plan the next rep against
+        // the budget left after the query phases' reserve. A full rep is
+        // (lo unless converged) + hi; when that no longer fits, spend what
+        // remains on the side with evidentiary value — EXTRA LO samples
+        // until convergence (best-of-n lo can only RISE, which can only
+        // LOWER the reported efficiency: the honest direction), else extra
+        // hi. The first rep always runs — best-so-far lo/hi from one rep
+        // beats no numbers at all.
+        val avail = remaining - queryReserve
+        val needLo = !loConverged
+        // planning: full rep if it fits; else a lo-only rep while lo still
+        // needs convergence (never hi-only under an unconverged lo — more
+        // hi samples could only inflate the ratio the lo side hasn't
+        // earned); hi-only IS the full rep once lo has converged
+        val fullFits = avail > ((if (needLo) loDur else 0.0) + hiDur) * 1.1
+        val runLo = needLo && (r == 0 || fullFits || avail > loDur * 1.1)
+        val runHi = r == 0 || (fullFits && (!needLo || runLo))
+        if (!runLo && !runHi) {
           log(f"scaling budget exhausted after rep $r (remaining $remaining%.0f s, " +
-            f"next rep ~$nextRepCost%.0f s); emitting best-so-far")
+            f"lo ~$loDur%.0f s / hi ~$hiDur%.0f s); emitting best-so-far")
           stop = true
         } else {
         r += 1
+        if (!runHi) log(f"rep $r: lo-only (budget fits lo ~$loDur%.0f s, not hi ~$hiDur%.0f s)")
+        else if (!runLo && needLo) log(f"rep $r: hi-only (budget cannot fit lo ~$loDur%.0f s)")
         if (useChild) {
-          val (lo, ld) = if (loConverged) (Nil, 0.0)
-                         else timed(scalingChildRun(cpusLo, nDocs, 1))
-          val (hi, hd) = timed(scalingChildRun(cpusHi, nDocs, hiOver))
+          val (lo, ld) = if (runLo) timed(scalingChildRun(cpusLo, nDocs, 1))
+                         else (Nil, 0.0)
+          val (hi, hd) = if (runHi) timed(scalingChildRun(cpusHi, nDocs, hiOver))
+                         else (Nil, 0.0)
           if (ld > 0) loDur = ld
-          hiDur = hd
-          if ((lo.isEmpty && !loConverged) || hi.isEmpty) {
+          if (hd > 0) hiDur = hd
+          if ((lo.isEmpty && runLo) || (hi.isEmpty && runHi)) {
             log("scaling child failed; falling back to in-JVM local[N] protocol")
             useChild = false
           } else { loS ++= lo; hiS ++= hi }
@@ -288,10 +303,12 @@ object Bench {
             buildThroughput(cpusLo, warmDocs, 1)
             buildThroughput(cpusHi, warmDocs, 1)
           }
-          if (!loConverged) {
+          if (runLo) {
             val (v, d) = timed(buildThroughput(cpusLo, nDocs, 1)); loS += v; loDur = d
           }
-          val (v, d) = timed(buildThroughput(cpusHi, nDocs, hiOver)); hiS += v; hiDur = d
+          if (runHi) {
+            val (v, d) = timed(buildThroughput(cpusHi, nDocs, hiOver)); hiS += v; hiDur = d
+          }
         }
         if (loS.nonEmpty && hiS.nonEmpty) {
           fpsLo = loS.max; fpsHi = hiS.max

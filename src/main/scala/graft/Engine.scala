@@ -430,6 +430,29 @@ object Engine {
       .orderBy("doc_id")
   }
 
+  /** Scored MoreLikeThis top-k in f64 — the double twin of the boosted
+    * disjunction MoreLikeThis expands to (`more_like_this.rs:109-121`):
+    * the term SELECTION (and per-term boost = score * boost_factor / best)
+    * is computed driver-side in double via `Searcher.mltSelect`, then each
+    * matching doc scores sum(bm25_f64 * boost) over the selected terms.
+    * Output (doc_id, score DOUBLE rounded 6), (score desc, doc_id) cut.
+    */
+  def topKMltF64(sr: Searcher, m: graft.query.MoreLikeThisQ, k: Int): DataFrame = {
+    val spark = sr.spark
+    import spark.implicits._
+    val sel = sr.mltSelect(m)
+    if (sel.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val best = sel.map(_._2).max
+    val boosts = sel.map { case (t, s) => (t, s * m.boostFactor / best) }
+    termScoresF64(sr, boosts.map(_._1))
+      .join(broadcast(boosts.toDF("term", "boost")), Seq("term"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("sc") * col("boost")), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Boosted disjunction in f64: per-term multiplicative boost (the
     * weight-level boost of `bm25.rs:80-87`), boosts given as e0 SQL
     * literals for dialect-stable double typing.

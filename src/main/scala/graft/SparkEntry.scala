@@ -324,6 +324,16 @@ object SparkEntry {
       Engine.docIds(sr, MoreLikeThisQ(seg, d,
         minDocFreq = 5, minTermFreq = 1, maxQueryTerms = 10))
     },
+    // SCORED MoreLikeThis top-k (round 5): selection + per-term boost +
+    // boosted BM25 sum, all hash-gated — the oracle replays the whole
+    // pipeline (tf-idf selection with the limit+1 heap retention, boost =
+    // s/max(s), weighted disjunction sum) in SQL
+    "ft_mlt_topk" -> { (s, dir) =>
+      val sr = Engine.searcher(s, dir)
+      val (seg, d) = Engine.addressOf(sr, 0L)
+      Engine.topKMltF64(sr, MoreLikeThisQ(seg, d,
+        minDocFreq = 5, minTermFreq = 1, maxQueryTerms = 10), 20)
+    },
     // the FULL MoreLikeThis parameter surface (`more_like_this.rs:48-66`):
     // doc-frequency window (min AND max), UTF-8-byte word-length bounds,
     // stop words, and a maxQueryTerms small enough that the reference's
@@ -1138,6 +1148,28 @@ object SparkEntry {
          |  ORDER BY tf * ln(1e0 + (nd - df + 0.5e0) / (df + 0.5e0)) DESC, t LIMIT 11)
          |SELECT DISTINCT doc_id FROM tok WHERE t IN (SELECT t FROM sel)
          |ORDER BY doc_id""".stripMargin,
+    // scored MLT: same selection (LIMIT 11 = maxQueryTerms+1 heap
+    // retention), boost = s / max(s), then the boosted BM25-in-double sum
+    // over exact dl — `sum(sc * boost)` rounded 6, (score desc, doc_id) cut
+    "ft_mlt_topk" ->
+      s"""WITH $tokCte,
+         |d0 AS (SELECT t, count(*) AS tf FROM tok WHERE doc_id = 0 GROUP BY t),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+         |dfall AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+         |sel AS (SELECT t, df,
+         |    tf * ln(1e0 + (nd - df + 0.5e0) / (df + 0.5e0)) AS s
+         |  FROM d0 JOIN dfall USING (t) CROSS JOIN st
+         |  WHERE tf >= 1 AND df >= 5
+         |  ORDER BY s DESC, t LIMIT 11),
+         |bsel AS (SELECT t, df, s / (SELECT max(s) FROM sel) AS boost FROM sel),
+         |tf2 AS (SELECT doc_id, t, count(*) AS tf FROM tok
+         |  WHERE t IN (SELECT t FROM sel) GROUP BY doc_id, t),
+         |sc AS (SELECT doc_id,
+         |    ${Engine.bm25F64("nd", "CAST(tt AS DOUBLE) / nd")} * boost AS sc
+         |  FROM tf2 JOIN dl USING (doc_id) JOIN bsel USING (t) CROSS JOIN st)
+         |SELECT doc_id, round(sum(sc), 6) AS score FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // full replay of the snippet fragmenter (`src/snippet/mod.rs:205-263`):
     // token char offsets from the split widths, greedy fragment cut points
     // via a recursive CTE (next start = first token whose end overflows

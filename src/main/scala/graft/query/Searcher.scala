@@ -455,9 +455,24 @@ class Searcher(val spark: SparkSession, val indexDir: String,
     * instead of shuffling every posting of every selected term.
     */
   def mltDisjunction(m: MoreLikeThisQ, fld: String = field): Query = {
+    val selected = mltSelect(m, fld)
+    if (selected.isEmpty) EmptyQ
+    else {
+      val best = selected.map(_._2).max
+      BoolQ(selected.map { case (t, s) =>
+        Occur.Should -> (BoostQ(TermQ(t), (s * m.boostFactor / best).toFloat): Query) })
+    }
+  }
+
+  /** The MoreLikeThis term SELECTION alone — (term, tf*idf score) pairs in
+    * (score desc, term asc) order, capped at maxQueryTerms + 1. Score kept
+    * in DOUBLE so the DuckDB oracle's ordering replays exactly; the
+    * emitted boost is the f32 of score/best (reference stores f32).
+    */
+  def mltSelect(m: MoreLikeThisQ, fld: String = field): Seq[(String, Double)] = {
     import m.{segId, docId, minDocFreq => minDf, minTermFreq => minTf,
       maxQueryTerms => maxTerms, maxDocFreq => maxDf, minWordLen, maxWordLen,
-      stopWords, boostFactor}
+      stopWords}
     val content = docmap
       .where($"segId" === segId && $"docId" === docId)
       .select($"content").as[String].head()
@@ -471,9 +486,7 @@ class Searcher(val spark: SparkSession, val indexDir: String,
     val candidates = tfs.filter { case (t, _) => !isNoise(t) }
     val dfs = docFreqs(candidates.keys.toSeq.sorted, fld)
     val n = fieldStats(fld)._2
-    // selection score in double so the DuckDB oracle's ordering replays
-    // exactly; the emitted boost is the f32 of it (reference stores f32)
-    val selected: Seq[(String, Double)] = candidates.toSeq
+    candidates.toSeq
       .filter { case (t, tf) =>
         val df = dfs.getOrElse(t, 0L)
         tf >= minTf && df > 0 && df >= minDf && maxDf.forall(df <= _) }
@@ -482,12 +495,6 @@ class Searcher(val spark: SparkSession, val indexDir: String,
         (t, tf * math.log(1.0 + (n - df + 0.5) / (df + 0.5))) }
       .sortBy { case (t, s) => (-s, t) }
       .take(maxTerms + 1)
-    if (selected.isEmpty) EmptyQ
-    else {
-      val best = selected.map(_._2).max
-      BoolQ(selected.map { case (t, s) =>
-        Occur.Should -> (BoostQ(TermQ(t), (s * boostFactor / best).toFloat): Query) })
-    }
   }
 
   /** Shared executor for phrase queries whose slots are TERM SETS (regex
