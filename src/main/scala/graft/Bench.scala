@@ -177,8 +177,12 @@ object Bench {
     // far we got, with `converged:false` when the loop was cut short.
     val benchStart = System.nanoTime()
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000").toDouble
-    // wall-clock reserved for the query/ANN phases after the scaling loop
-    val queryReserve = sys.env.getOrElse("SPARK_GRAFT_QUERY_RESERVE_SEC", "900").toDouble
+    // wall-clock reserved for the query/ANN phases after the scaling loop.
+    // 450 s is ~2.5x the MEASURED phases B-D cost (the round-5 driver run
+    // spent 164 s on them, including the cold 600k-doc phase-C index build);
+    // the round-5 default of 900 s starved the scaling loop of the third lo
+    // sample that convergence needed while 750 s of reserve went unused.
+    val queryReserve = sys.env.getOrElse("SPARK_GRAFT_QUERY_RESERVE_SEC", "450").toDouble
     def remaining: Double = budgetSec - (System.nanoTime() - benchStart) / 1e9
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -220,6 +224,10 @@ object Bench {
     var fpsLo = 0.0; var fpsHi = 0.0
     var converged = false
     var scalingReps = 0
+    // raw per-rep samples, emitted in the JSON: with the arrays on record a
+    // throttle dip (one depressed sample under a stable best) is visible in
+    // the artifact itself instead of needing the builder's stderr log
+    var loSamplesJson = "[]"; var hiSamplesJson = "[]"
     val childMode = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "cluster") != "jvm" &&
       new java.io.File(s"${sys.env.getOrElse("SPARK_HOME", "/opt/spark")}/bin/spark-submit").exists()
     if (doScaling) {
@@ -240,7 +248,14 @@ object Bench {
       // improve, so the ceiling is cheap insurance for the gate
       val minReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt
       val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_MAX_REPS", "8").toInt
-      val hiOver = sys.env.getOrElse("SPARK_GRAFT_HI_OVERSAMPLE", "2").toInt
+      // hi oversample default dropped 2 -> 1 in round 5: the per-rep double
+      // hi build cost ~140 s that, with the old 900 s query reserve, priced
+      // the third lo sample out of the budget (the r5 driver run ended
+      // UNCONVERGED with 2 full reps). Hi noise is instead absorbed by the
+      // adaptive continuation — once lo converges, reps are hi-only (~230 s
+      // each) and the loop keeps buying hi samples until the gate or the
+      // budget, which oversamples exactly when the evidence needs it.
+      val hiOver = sys.env.getOrElse("SPARK_GRAFT_HI_OVERSAMPLE", "1").toInt
       val gate = sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "0.82").toDouble
       var useChild = childMode
       val loS = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -320,6 +335,8 @@ object Bench {
         }
       }
       scalingReps = r
+      loSamplesJson = loS.map(v => f"$v%.0f").mkString("[", ",", "]")
+      hiSamplesJson = hiS.map(v => f"$v%.0f").mkString("[", ",", "]")
     }
     val efficiency = if (fpsLo > 0) fpsHi / (4.0 * fpsLo) else 0.0
 
@@ -459,6 +476,6 @@ object Bench {
       .map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
     val elapsed = (System.nanoTime() - benchStart) / 1e9
     println(
-      f"""{"metric":"headline query set (sec) + build scaling","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus_low":$cpusLo,"cpus_high":$cpusHi,"scaling_protocol":"${if (childMode) s"local-cluster[N,1core,4g] x {$cpusLo,$cpusHi} executor JVMs via spark-submit" else s"local[N] threads, shared JVM"}","build_files_per_sec_n":$fpsLo%.1f,"build_files_per_sec_4n":$fpsHi%.1f,"scaling_efficiency":$efficiency%.3f,"converged":$converged,"scaling_reps":$scalingReps,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsed%.0f,"p50_query_ms":$p50%.1f,"p95_query_ms":$p95%.1f,"qs_p50_ms":$qsP50%.1f,"qs_p95_ms":$qsP95%.1f,"qs_n":$qsN,"qs_docs":$qsDocs,"bench_docs":$nDocs,"query_dispersion":$qdisp,"ann_lsh_recall_at_20":$lshRecall%.2f,"ann_ivf_recall_at_20":$ivfRecall%.2f,"ann_ivf_frac_scanned":$ivfFracScanned%.3f}""")
+      f"""{"metric":"headline query set (sec) + build scaling","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus_low":$cpusLo,"cpus_high":$cpusHi,"scaling_protocol":"${if (childMode) s"local-cluster[N,1core,4g] x {$cpusLo,$cpusHi} executor JVMs via spark-submit" else s"local[N] threads, shared JVM"}","build_files_per_sec_n":$fpsLo%.1f,"build_files_per_sec_4n":$fpsHi%.1f,"scaling_efficiency":$efficiency%.3f,"converged":$converged,"scaling_reps":$scalingReps,"lo_samples":$loSamplesJson,"hi_samples":$hiSamplesJson,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsed%.0f,"p50_query_ms":$p50%.1f,"p95_query_ms":$p95%.1f,"qs_p50_ms":$qsP50%.1f,"qs_p95_ms":$qsP95%.1f,"qs_n":$qsN,"qs_docs":$qsDocs,"bench_docs":$nDocs,"query_dispersion":$qdisp,"ann_lsh_recall_at_20":$lshRecall%.2f,"ann_ivf_recall_at_20":$ivfRecall%.2f,"ann_ivf_frac_scanned":$ivfFracScanned%.3f}""")
   }
 }
