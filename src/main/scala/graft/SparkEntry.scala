@@ -235,6 +235,14 @@ object SparkEntry {
       Engine.docIds(Engine.searcher(s, dir),
         QueryParser.parse("ipaddr:\"2001:0db8:0:0::002A\"",
           opts = Engine.parseOpts))),
+    // ip range in u128 value order (`range_query.rs:71-170`): the bounds
+    // [::9 TO ::10} are REVERSED in canonical-text order ("::10" < "::9"
+    // lexicographically) — a string-order range would return nothing, so a
+    // non-empty result proves the numeric path
+    "ft_ip_range" -> ((s, dir) =>
+      Engine.docIds(Engine.searcher(s, dir),
+        QueryParser.parse("ipaddr:[2001:db8::9 TO 2001:db8::10}",
+          opts = Engine.parseOpts))),
     // date range over RFC-3339 terms, mixed offsets normalize to UTC
     "ft_date_range" -> ((s, dir) =>
       Engine.docIds(Engine.searcher(s, dir),
@@ -1092,6 +1100,10 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 300 ORDER BY doc_id",
     "ft_ip_term" ->
       "SELECT doc_id FROM documents WHERE doc_id % 200 = 42 ORDER BY doc_id",
+    // ipaddr = 2001:db8::<hex(doc_id % 200)>; [::9 TO ::10} = values 9..15
+    // (0x10 = 16 exclusive) in u128 order
+    "ft_ip_range" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 200 BETWEEN 9 AND 15 ORDER BY doc_id",
     "ft_date_range" ->
       // mtime = 2020-01-01 + (doc_id % 60) days at midnight UTC; the query's
       // upper bound 2020-01-20T02:00:00+02:00 is 2020-01-20T00:00:00Z

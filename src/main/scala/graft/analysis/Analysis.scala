@@ -406,6 +406,27 @@ object Analysis {
       case _ => None
     }
 
+  /** The u128 comparison key of an IP term (`common/src/lib.rs` maps every
+    * address to a u128 via `Ipv6Addr::to_bits`; RangeQuery over an ip field
+    * compares in THAT space, `range_query.rs:71-170`). The canonical RFC
+    * 5952 TEXT of a term is not order-preserving ("::10" < "::9"
+    * lexicographically while 0x10 > 0x9), so ip ranges must compare these
+    * keys, never the term strings. None for non-IP input.
+    */
+  def ipv6Key(s: String): Option[java.math.BigInteger] =
+    if (!com.google.common.net.InetAddresses.isInetAddress(s)) None
+    else {
+      val a = com.google.common.net.InetAddresses.forString(s)
+      val b16 = a match {
+        case v4: java.net.Inet4Address => // ::ffff:a.b.c.d, into_ipv6_addr
+          val b = new Array[Byte](16)
+          b(10) = -1; b(11) = -1
+          System.arraycopy(v4.getAddress, 0, b, 12, 4); b
+        case v6 => v6.getAddress
+      }
+      Some(new java.math.BigInteger(1, b16))
+    }
+
   // ---------- typed-field canonical term encodings ----------
   // The reference indexes non-text field values as fixed-width big-endian
   // keys whose byte order equals value order (`common/src/lib.rs`:

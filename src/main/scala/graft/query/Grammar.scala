@@ -688,16 +688,22 @@ object Grammar {
             case _ => (v, i)
           }
         }
+      // ip fields range in u128 value order, not canonical-text order
+      // (`compute_boundary_term` parses ip bounds into addresses and the
+      // range runs over the u128 fast field, `range_query.rs:71-170`)
+      def strRange(fd: String): Query =
+        if (chainOf(fd, opts) == "ip") IpRangeQ(norm(fd, loV), norm(fd, hiV))
+        else TermRangeQ(norm(fd, loV), norm(fd, hiV))
       f match {
         case Some(col) if opts.numericFields.contains(col) &&
             loV.forall(v => numeric(v._1).isDefined) && hiV.forall(v => numeric(v._1).isDefined) =>
           Some(RangeQ(col,
             loV.map { case (v, i) => (numeric(v).get, i) },
             hiV.map { case (v, i) => (numeric(v).get, i) }))
-        case Some(fd) => Some(scoped(fd, TermRangeQ(norm(fd, loV), norm(fd, hiV)), opts))
+        case Some(fd) => Some(scoped(fd, strRange(fd), opts))
         case None =>
           combineFanout(opts.defaultFields.map(fd =>
-            scoped(fd, TermRangeQ(norm(fd, loV), norm(fd, hiV)), opts)))
+            scoped(fd, strRange(fd), opts)))
       }
     case ULiteral(f, phrase, _, slop, prefix) =>
       val fields = f.map(Seq(_)).getOrElse(opts.defaultFields)

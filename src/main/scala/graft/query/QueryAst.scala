@@ -59,6 +59,17 @@ final case class TermSetQ(terms: Set[String]) extends Query
 final case class TermRangeQ(
     lower: Option[(String, Boolean)], upper: Option[(String, Boolean)]) extends Query
 
+/** `src/query/range_query/range_query.rs:71-170` over an IpAddr field: the
+  * reference compares addresses as u128 bits (`MonotonicallyMappableToU128`,
+  * `common/src/lib.rs`), NOT as their RFC 5952 canonical text — "::10" sorts
+  * before "::9" as a string but after it numerically, so ip ranges get their
+  * own node instead of riding TermRangeQ's string order. Bounds are
+  * canonical-IPv6 strings (the parser normalizes through the "ip" chain),
+  * compared via `Analysis.ipv6Key`. Const score 1.0.
+  */
+final case class IpRangeQ(
+    lower: Option[(String, Boolean)], upper: Option[(String, Boolean)]) extends Query
+
 /** `src/query/fuzzy_query.rs:80-131` — Levenshtein distance <= d (max 2),
   * optional transposition cost 1, optional prefix mode; const score 1.0.
   */

@@ -269,6 +269,32 @@ class Searcher(val spark: SparkSession, val indexDir: String,
       lo.foreach { case (v, incl) => t = t.where(if (incl) $"term" >= v else $"term" > v) }
       hi.foreach { case (v, incl) => t = t.where(if (incl) $"term" <= v else $"term" < v) }
       docsForTermsDf(t, fld)
+    case IpRangeQ(lo, hi) =>
+      // u128-order range over an ip field's term dictionary
+      // (`range_query.rs:71-170` via `MonotonicallyMappableToU128`): the
+      // canonical RFC 5952 term text is NOT order-preserving, so each
+      // dictionary term is re-keyed to its 128-bit value and compared
+      // numerically — a distributed termdict filter like regex/fuzzy, then
+      // the same semi-join into the postings scan. Bounds parse once on the
+      // driver; unparseable bounds match nothing (the reference's boundary
+      // computation fails the query the same way).
+      val loK = lo.map { case (v, i) => (graft.analysis.Analysis.ipv6Key(v), i) }
+      val hiK = hi.map { case (v, i) => (graft.analysis.Analysis.ipv6Key(v), i) }
+      if (loK.exists(_._1.isEmpty) || hiK.exists(_._1.isEmpty))
+        spark.emptyDataset[ScoredDoc]
+      else {
+        val loB = loK.map { case (k, i) => (k.get, i) }
+        val hiB = hiK.map { case (k, i) => (k.get, i) }
+        val inRange = udf { t: String =>
+          graft.analysis.Analysis.ipv6Key(t).exists { k =>
+            loB.forall { case (b, incl) =>
+              val c = k.compareTo(b); if (incl) c >= 0 else c > 0 } &&
+            hiB.forall { case (b, incl) =>
+              val c = k.compareTo(b); if (incl) c <= 0 else c < 0 }
+          }
+        }
+        docsForTermsDf(allTermsFor(fld).where(inRange($"term")), fld)
+      }
     case RegexQ(pattern) =>
       // regex over the term dictionary (`regex_query.rs:57`), evaluated
       // DISTRIBUTED over termdict, then semi-joined into the postings scan —

@@ -130,7 +130,7 @@ object NaiveScorer {
             else None
           }
         }.toMap
-      case RangeQ(_, _, _) | ExistsQ(_) =>
+      case RangeQ(_, _, _) | ExistsQ(_) | IpRangeQ(_, _) =>
         throw new UnsupportedOperationException("naive range/exists needs fast-field values")
     }
 

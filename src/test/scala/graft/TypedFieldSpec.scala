@@ -89,4 +89,35 @@ class TypedFieldSpec extends AnyFunSuite {
     }
     assert(QueryParser.parse("b:00FF", opts = opts) == FieldQ("b", TermQ("00ff")))
   }
+
+  test("ipv6Key: u128 order where canonical text order disagrees") {
+    // "::10" < "::9" lexicographically but 0x10 > 0x9 numerically — the
+    // exact case that forces ip ranges off the string-order TermRangeQ path
+    val k9 = Analysis.ipv6Key("2001:db8::9").get
+    val k10 = Analysis.ipv6Key("2001:db8::10").get
+    assert("2001:db8::10" < "2001:db8::9" && k9.compareTo(k10) < 0)
+    // IPv4 maps into ::ffff:a.b.c.d space (into_ipv6_addr), above ::
+    val v4 = Analysis.ipv6Key("1.2.3.4").get
+    assert(v4 == Analysis.ipv6Key("::ffff:1.2.3.4").get)
+    assert(Analysis.ipv6Key("::").get.signum == 0)
+    assert(Analysis.ipv6Key("not-an-ip").isEmpty)
+  }
+
+  test("parser routes ip-field ranges to IpRangeQ with canonical bounds") {
+    import graft.query._
+    val opts = Grammar.CompileOpts(fieldTokenizers = Map(
+      "content" -> "default", "ip" -> "ip"))
+    QueryParser.parse("ip:[2001:0db8::0009 TO 2001:db8::10}", opts = opts) match {
+      case FieldQ("ip", IpRangeQ(lo, hi)) =>
+        assert(lo.contains(("2001:db8::9", true)))
+        assert(hi.contains(("2001:db8::10", false)))
+      case other => fail(s"unexpected: $other")
+    }
+    // non-ip str fields keep the TermRangeQ string-order path (content is
+    // the sole default field, so scoped() drops the FieldQ wrapper)
+    QueryParser.parse("content:[aa TO ab]", opts = opts) match {
+      case TermRangeQ(_, _) => ()
+      case other => fail(s"unexpected: $other")
+    }
+  }
 }
