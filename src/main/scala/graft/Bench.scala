@@ -182,21 +182,30 @@ object Bench {
     // spent 164 s on them, including the cold 600k-doc phase-C index build);
     // the round-5 default of 900 s starved the scaling loop of the third lo
     // sample that convergence needed while 750 s of reserve went unused.
-    val queryReserve = sys.env.getOrElse("SPARK_GRAFT_QUERY_RESERVE_SEC", "450").toDouble
+    // (re-measured after the reserve drop: 259 s actual, so 350 keeps ~35%
+    // headroom while freeing another 100 s for the scaling loop)
+    val queryReserve = sys.env.getOrElse("SPARK_GRAFT_QUERY_RESERVE_SEC", "350").toDouble
     def remaining: Double = budgetSec - (System.nanoTime() - benchStart) / 1e9
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // 4.8M docs: the build has ~30 s of unavoidable per-run serial cost
+    // Corpus sizing: the build has ~28 s of unavoidable per-run serial cost
     // (driver plan/schedule/commit across 5 jobs plus last-wave stragglers);
     // the corpus must be large enough that the parallel fraction dominates
     // at the 4N level, or the measurement reports Amdahl on the harness
     // rather than the engine (at the 10^12-file production scale each
     // partition-batch is days of parallel work against the same seconds of
     // fixed cost). Round 4 used 7.2M, which the driver's time budget could
-    // not fit (rc 124); 4.8M keeps the parallel fraction dominant (Amdahl
-    // with W≈3.5e-4 core-s/doc, c≈30 s predicts eff ≈ 0.85) while two to
-    // three adaptive reps plus the query phases fit the budget.
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4800000").toLong
+    // not fit (rc 124); round 5 started at 4.8M.
+    // 4.8M -> 4.2M in round 5: at 4.8M the budget arithmetic caps the loop
+    // at two lo samples (measured: corpus ~120 s, lo rep ~710 s, hi rep
+    // ~260 s -> after two full reps only ~590 s remain vs the ~780 s a
+    // third lo rep needs), so ONE throttle dip >2% between the two samples
+    // leaves lo permanently unconverged — exactly what the 0.882/
+    // converged:false validation run hit. At 4.2M the third lo rep fits
+    // with margin. Efficiency cost of the smaller corpus is ~0.015 (serial
+    // cost measured ~28 s/run via the two-level timing identity), keeping
+    // the quiet-window ceiling ~0.87, well over the 0.82 gate.
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4200000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     // N vs 4N parallelism pair. Default 4/16, NOT 8/32: the sandbox's 32
     // vCPUs are 16 physical cores x 2 hyperthreads, and a pure-CPU control

@@ -362,6 +362,42 @@ object Engine {
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
 
+  /** BATCH top-k: N disjunctive BM25 queries answered by ONE postings scan.
+    *
+    * Throughput-mode retrieval — query-log replay, label-by-query
+    * classification, semantic routing — is where a distributed engine beats
+    * a per-query one: tantivy answers queries one at a time against an mmap
+    * (single-digit ms each but strictly serial per core), while here the
+    * whole batch amortizes to one pruned scan + one shuffle regardless of
+    * batch size. The (qid, term) membership table broadcasts (bounded by
+    * the batch's vocabulary, kilobytes for thousands of queries), per-doc
+    * partial sums combine map-side through the hash aggregate, and the
+    * per-qid top-k is a window over qid partitions — N independent heaps,
+    * exactly the per-query collector state, shuffled once by qid.
+    *
+    * Scores are BIT-IDENTICAL to running [[topKShouldF64]] per qid (same
+    * f64 formula, same rounding, same tie order), which BatchTopKSpec
+    * asserts and the `ft_batch_topk` oracle replays in DuckDB.
+    *
+    * Output: (qid STRING, doc_id BIGINT, score DOUBLE), ordered
+    * (qid, score desc, doc_id), at most k rows per qid.
+    */
+  def topKBatchF64(sr: Searcher, queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    val spark = sr.spark
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("qid", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy(desc("score"), asc("doc_id"))
+    termScoresF64(sr, allTerms)
+      .join(broadcast(qt), Seq("term"))
+      .groupBy($"qid", $"doc_id").agg(round(sum($"sc"), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= k).drop("rn")
+      .orderBy($"qid", desc("score"), asc("doc_id"))
+  }
+
   /** Conjunctive (all-Must) BM25 top-k in f64: docs containing every term. */
   def topKMustF64(sr: Searcher, terms: Seq[String], k: Int): DataFrame = {
     val n = terms.distinct.length

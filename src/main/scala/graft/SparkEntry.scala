@@ -103,6 +103,13 @@ object SparkEntry {
     "ft_boost_topk" -> ((s, dir) =>
       Engine.topKBoostedF64(Engine.searcher(s, dir),
         Seq("spark" -> "2e0", "merge" -> "1e0"), 20)),
+    // batch retrieval: three queries, ONE postings scan, per-qid top-10 —
+    // the throughput-mode path a per-query engine cannot amortize
+    "ft_batch_topk" -> ((s, dir) =>
+      Engine.topKBatchF64(Engine.searcher(s, dir), Seq(
+        "q_spark" -> Seq("spark"),
+        "q_spark_merge" -> Seq("spark", "merge"),
+        "q_vwh" -> Seq("vector", "window", "hash")), 10)),
 
     // ---- full-text: doc-set queries (const-score semantics) ----
     "ft_term_docs" -> ((s, dir) =>
@@ -957,6 +964,20 @@ object SparkEntry {
       s"""WITH ${bmCtes(Seq("spark", "merge"))}
          |SELECT doc_id, round(sum(sc * CASE t WHEN 'spark' THEN 2e0 ELSE 1e0 END), 6) AS score
          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the batch entry replays each query's BM25 sum off the SAME per-term
+    // score CTE, then takes per-qid top-10 by (score desc, doc_id)
+    "ft_batch_topk" ->
+      s"""WITH ${bmCtes(Seq("spark", "merge", "vector", "window", "hash"))},
+         |qt(qid, t) AS (VALUES ('q_spark', 'spark'),
+         |  ('q_spark_merge', 'spark'), ('q_spark_merge', 'merge'),
+         |  ('q_vwh', 'vector'), ('q_vwh', 'window'), ('q_vwh', 'hash')),
+         |qs AS (SELECT qid, doc_id, round(sum(sc), 6) AS score
+         |       FROM sc JOIN qt USING (t) GROUP BY qid, doc_id)
+         |SELECT qid, doc_id, score FROM (
+         |  SELECT qid, doc_id, score,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+         |  FROM qs)
+         |WHERE rn <= 10 ORDER BY qid, score DESC, doc_id""".stripMargin,
 
     // the WAND entry's f64 twin: quantized-fieldnorm dl (what the f32
     // scorer reads), projected at 4 decimals where f32 == f64 for this
